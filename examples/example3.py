@@ -1,0 +1,97 @@
+"""Example 3. Optimizing textures.
+
+Reference: examples/example3.py — fit tanh-squashed texture cubes to a target
+RGB image under a random azimuth each step.  Randomness stays host-side; the
+jitted step takes the eye position as an argument.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), '..'))
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import tqdm
+
+import neural_renderer_tpu as nr
+from neural_renderer_tpu.io.image import imread, imsave01, make_gif
+
+
+def run():
+    data = os.path.join(os.path.dirname(__file__), 'data')
+    parser = argparse.ArgumentParser()
+    parser.add_argument('-io', '--filename_obj', type=str,
+                        default=os.path.join(data, 'teapot.obj'))
+    parser.add_argument('-ir', '--filename_ref', type=str,
+                        default=os.path.join(data, 'example3_ref.png'))
+    parser.add_argument('-or', '--filename_output', type=str,
+                        default=os.path.join(data, 'example3_result.gif'))
+    parser.add_argument('-n', '--num_steps', type=int, default=300)
+    args = parser.parse_args()
+    working_directory = os.path.dirname(args.filename_output)
+
+    vertices, faces = nr.load_obj(args.filename_obj)
+    vertices = jnp.asarray(vertices[None, :, :])
+    faces = jnp.asarray(faces[None, :, :])
+    texture_size = 4
+    textures = jnp.zeros(
+        (1, faces.shape[1], texture_size, texture_size, texture_size, 3),
+        jnp.float32)
+    image_ref = jnp.asarray(
+        imread(args.filename_ref).astype('float32') / 255.0)
+
+    renderer = nr.Renderer()
+    renderer.perspective = False
+    renderer.light_intensity_directional = 0.0
+    renderer.light_intensity_ambient = 1.0
+
+    def loss_fn(tx, eye):
+        renderer.eye = eye
+        image = renderer.render(vertices, faces, jnp.tanh(tx))
+        return jnp.sum(jnp.square(
+            image - image_ref.transpose(2, 0, 1)[None]))
+
+    init_fn, update_fn = nr.adam(alpha=0.1, beta1=0.5)
+    opt_state = init_fn(textures)
+
+    @jax.jit
+    def step(tx, opt_state, eye):
+        loss, grads = jax.value_and_grad(loss_fn)(tx, eye)
+        updates, opt_state = update_fn(grads, opt_state)
+        return tx + updates, opt_state, loss
+
+    loop = tqdm.tqdm(range(args.num_steps))
+    for _ in loop:
+        loop.set_description('Optimizing')
+        azimuth = np.random.uniform(0, 360)
+        eye = jnp.asarray(nr.get_points_from_angles(
+            np.float32(2.732), np.float32(0), np.float32(azimuth)))
+        textures, opt_state, _ = step(textures, opt_state, eye)
+
+    @jax.jit
+    def render_rgb(tx, eye):
+        renderer.eye = eye
+        return renderer.render(vertices, faces, jnp.tanh(tx))
+
+    frames = []
+    loop = tqdm.tqdm(range(0, 360, 4))
+    for num, azimuth in enumerate(loop):
+        loop.set_description('Drawing')
+        eye = jnp.asarray(nr.get_points_from_angles(
+            np.float32(2.732), np.float32(0), np.float32(azimuth)))
+        images = np.asarray(render_rgb(textures, eye))
+        frame = '%s/_tmp_%04d.png' % (working_directory, num)
+        imsave01(frame, images[0].transpose(1, 2, 0))
+        frames.append(frame)
+    make_gif(frames, args.filename_output)
+    for f in frames:
+        os.remove(f)
+
+
+if __name__ == '__main__':
+    run()

@@ -1,0 +1,61 @@
+"""neural_renderer_tpu — a TPU-native differentiable 3D mesh renderer.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of the Neural 3D Mesh
+Renderer (Kato, Ushiku, Harada — CVPR 2018; reference implementation
+``hiroharu-kato/neural_renderer``): a z-buffered triangle rasterizer producing
+RGB / silhouette / depth images with the paper's blur-based approximate
+backward pass to vertices and exact gradients to per-face texture cubes and
+camera parameters.
+
+The public API mirrors the reference's flat exports
+(reference ``neural_renderer/__init__.py:1-16``) so that a user of the
+reference can switch over directly.  Everything composes with ``jax.jit``,
+``jax.vmap``, ``jax.grad`` and ``jax.sharding`` — whole optimization loops
+(vertex / texture / camera-pose fitting) compile to single XLA programs and
+shard over TPU meshes.
+"""
+
+from neural_renderer_tpu.ops.cross import cross
+from neural_renderer_tpu.ops.transforms import (
+    get_points_from_angles,
+    look,
+    look_at,
+    perspective,
+)
+from neural_renderer_tpu.ops.lighting import lighting
+from neural_renderer_tpu.ops.vertices_to_faces import vertices_to_faces
+from neural_renderer_tpu.rasterize.config import (
+    DEFAULT_ANTI_ALIASING,
+    DEFAULT_BACKGROUND_COLOR,
+    DEFAULT_EPS,
+    DEFAULT_FAR,
+    DEFAULT_IMAGE_SIZE,
+    DEFAULT_NEAR,
+    RasterizeSettings,
+)
+from neural_renderer_tpu.rasterize.api import (
+    Rasterize,
+    rasterize,
+    rasterize_depth,
+    rasterize_rgbad,
+    rasterize_silhouettes,
+    use_unsafe_rasterizer,
+)
+from neural_renderer_tpu.scene.renderer import Renderer
+from neural_renderer_tpu.scene.mesh import Mesh
+from neural_renderer_tpu.io.obj import load_obj, load_mtl, save_obj, create_texture_image
+from neural_renderer_tpu.optim import Adam, adam
+
+__version__ = '0.1.0'
+
+__all__ = [
+    'cross', 'get_points_from_angles', 'look', 'look_at', 'perspective',
+    'lighting', 'vertices_to_faces',
+    'RasterizeSettings', 'Rasterize', 'rasterize', 'rasterize_depth',
+    'rasterize_rgbad', 'rasterize_silhouettes', 'use_unsafe_rasterizer',
+    'DEFAULT_IMAGE_SIZE', 'DEFAULT_ANTI_ALIASING', 'DEFAULT_NEAR',
+    'DEFAULT_FAR', 'DEFAULT_EPS', 'DEFAULT_BACKGROUND_COLOR',
+    'Renderer', 'Mesh',
+    'load_obj', 'load_mtl', 'save_obj', 'create_texture_image',
+    'Adam', 'adam',
+]

@@ -1,0 +1,192 @@
+"""Public rasterization entry points.
+
+Mirrors the reference wrappers (``rasterize.py:900-1065``): 2x supersampling
+for anti-aliasing, NCHW transpose + vertical flip, 2x2 average-pool
+downsample, and the rgb / silhouettes / depth convenience functions.  All are
+differentiable end-to-end (the flip/pool run under plain JAX autodiff around
+the custom-VJP core).
+"""
+
+import warnings
+
+import jax.numpy as jnp
+import numpy as np
+
+from neural_renderer_tpu.rasterize.config import (
+    DEFAULT_ANTI_ALIASING,
+    DEFAULT_BACKGROUND_COLOR,
+    DEFAULT_EPS,
+    DEFAULT_FAR,
+    DEFAULT_IMAGE_SIZE,
+    DEFAULT_NEAR,
+    RasterizeSettings,
+)
+from neural_renderer_tpu.rasterize.core import rasterize_core
+
+# API-compat shim for the reference's global unsafe/safe toggle
+# (rasterize.py:13-16, 1063-1065).  The TPU rasterizer is deterministic and
+# lock-free, so "unsafe" has nothing to offer; the flag is accepted and
+# ignored.
+USE_UNSAFE_IMPLEMENTATION = False
+
+
+def use_unsafe_rasterizer(flag):
+    global USE_UNSAFE_IMPLEMENTATION
+    USE_UNSAFE_IMPLEMENTATION = bool(flag)
+    if flag:
+        warnings.warn(
+            'use_unsafe_rasterizer(True) is a no-op: the TPU rasterizer is '
+            'always deterministic (no atomics to trade away).')
+
+
+def _static_background(background_color):
+    if background_color is None:
+        return DEFAULT_BACKGROUND_COLOR
+    arr = np.asarray(background_color, np.float32)
+    if arr.ndim != 1 or arr.shape[0] != 3:
+        raise NotImplementedError(
+            'only a single static RGB background color is supported '
+            '(the reference also allows per-batch colors; pass bs=1 usage)')
+    return tuple(float(v) for v in arr)
+
+
+def _avg_pool_2x2(x):
+    """[bs, (c,) h, w] -> 2x2 mean pool (reference rasterize.py:962-969)."""
+    h, w = x.shape[-2], x.shape[-1]
+    x = x.reshape(*x.shape[:-2], h // 2, 2, w // 2, 2)
+    return x.mean(axis=(-3, -1))
+
+
+def rasterize_rgbad(
+        faces,
+        textures=None,
+        image_size=DEFAULT_IMAGE_SIZE,
+        anti_aliasing=DEFAULT_ANTI_ALIASING,
+        near=DEFAULT_NEAR,
+        far=DEFAULT_FAR,
+        eps=DEFAULT_EPS,
+        background_color=DEFAULT_BACKGROUND_COLOR,
+        return_rgb=True,
+        return_alpha=True,
+        return_depth=True,
+        **perf_overrides):
+    """Rasterize NDC faces to RGB / alpha / depth images.
+
+    Args mirror the reference ``rasterize_rgbad`` (rasterize.py:900-938):
+      faces: ``[bs, nf, 3, 3]`` NDC face vertex coords.
+      textures: ``[bs, nf, ts, ts, ts, 3]`` per-face texture cubes
+        (required when return_rgb).
+      anti_aliasing: render at 2x and average-pool down.
+    Extra keyword overrides feed the TPU performance knobs of
+    ``RasterizeSettings`` (backend, face_chunk, tile_size, ...).
+
+    Returns dict(rgb=[bs,3,H,W], alpha=[bs,H,W], depth=[bs,H,W]) with None
+    for unrequested channels.
+    """
+    faces = jnp.asarray(faces, jnp.float32)
+    if return_rgb:
+        if textures is None:
+            raise ValueError('textures are required when return_rgb=True')
+        textures = jnp.asarray(textures, jnp.float32)
+    else:
+        # static placeholder so the custom_vjp signature stays binary
+        bs, nf = faces.shape[:2]
+        textures = jnp.zeros((bs, nf, 1, 1, 1, 3), jnp.float32)
+
+    render_size = image_size * 2 if anti_aliasing else image_size
+    settings = RasterizeSettings(
+        image_size=render_size, near=float(near), far=float(far),
+        eps=float(eps), background_color=_static_background(background_color),
+        return_rgb=return_rgb, return_alpha=return_alpha,
+        return_depth=return_depth, **perf_overrides).validate()
+
+    rgb, alpha, depth = rasterize_core(settings, faces, textures)
+
+    # transpose & vertical flip (rasterize.py:953-960)
+    if return_rgb:
+        rgb = rgb.transpose(0, 3, 1, 2)[:, :, ::-1, :]
+    if return_alpha:
+        alpha = alpha[:, ::-1, :]
+    if return_depth:
+        depth = depth[:, ::-1, :]
+
+    if anti_aliasing:
+        if return_rgb:
+            rgb = _avg_pool_2x2(rgb)
+        if return_alpha:
+            alpha = _avg_pool_2x2(alpha)
+        if return_depth:
+            depth = _avg_pool_2x2(depth)
+
+    return {
+        'rgb': rgb if return_rgb else None,
+        'alpha': alpha if return_alpha else None,
+        'depth': depth if return_depth else None,
+    }
+
+
+def rasterize(
+        faces, textures,
+        image_size=DEFAULT_IMAGE_SIZE, anti_aliasing=DEFAULT_ANTI_ALIASING,
+        near=DEFAULT_NEAR, far=DEFAULT_FAR, eps=DEFAULT_EPS,
+        background_color=DEFAULT_BACKGROUND_COLOR, **perf_overrides):
+    """RGB images ``[bs, 3, H, W]`` (reference rasterize.py:980-1008)."""
+    return rasterize_rgbad(
+        faces, textures, image_size, anti_aliasing, near, far, eps,
+        background_color, True, False, False, **perf_overrides)['rgb']
+
+
+def rasterize_silhouettes(
+        faces,
+        image_size=DEFAULT_IMAGE_SIZE, anti_aliasing=DEFAULT_ANTI_ALIASING,
+        near=DEFAULT_NEAR, far=DEFAULT_FAR, eps=DEFAULT_EPS,
+        **perf_overrides):
+    """Alpha channels ``[bs, H, W]`` (reference rasterize.py:1011-1034)."""
+    return rasterize_rgbad(
+        faces, None, image_size, anti_aliasing, near, far, eps, None,
+        False, True, False, **perf_overrides)['alpha']
+
+
+def rasterize_depth(
+        faces,
+        image_size=DEFAULT_IMAGE_SIZE, anti_aliasing=DEFAULT_ANTI_ALIASING,
+        near=DEFAULT_NEAR, far=DEFAULT_FAR, eps=DEFAULT_EPS,
+        **perf_overrides):
+    """Depth images ``[bs, H, W]`` (reference rasterize.py:1037-1060)."""
+    return rasterize_rgbad(
+        faces, None, image_size, anti_aliasing, near, far, eps, None,
+        False, False, True, **perf_overrides)['depth']
+
+
+class Rasterize:
+    """Compat shim for the reference ``Rasterize`` Function class
+    (rasterize.py:19-37): constructed with static config, called on
+    ``(faces[, textures])``, returns an ``(rgb, alpha, depth)`` tuple with
+    None placeholders.  Note: *no* anti-aliasing wrapper here, exactly like
+    the reference class (AA lives in rasterize_rgbad)."""
+
+    def __init__(self, image_size, near, far, eps, background_color,
+                 return_rgb=False, return_alpha=False, return_depth=False,
+                 **perf_overrides):
+        if not any((return_rgb, return_alpha, return_depth)):
+            raise ValueError('nothing to draw')
+        self.settings = RasterizeSettings(
+            image_size=image_size, near=float(near), far=float(far),
+            eps=float(eps),
+            background_color=_static_background(background_color),
+            return_rgb=return_rgb, return_alpha=return_alpha,
+            return_depth=return_depth, **perf_overrides).validate()
+
+    def __call__(self, faces, textures=None):
+        faces = jnp.asarray(faces, jnp.float32)
+        if self.settings.return_rgb:
+            if textures is None:
+                raise ValueError('textures required when return_rgb')
+            textures = jnp.asarray(textures, jnp.float32)
+        else:
+            bs, nf = faces.shape[:2]
+            textures = jnp.zeros((bs, nf, 1, 1, 1, 3), jnp.float32)
+        rgb, alpha, depth = rasterize_core(self.settings, faces, textures)
+        return (rgb if self.settings.return_rgb else None,
+                alpha if self.settings.return_alpha else None,
+                depth if self.settings.return_depth else None)

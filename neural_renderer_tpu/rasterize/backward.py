@@ -1,0 +1,344 @@
+"""Backward pass: the paper's approximate vertex gradient (K5) re-derived
+pixel-centrically, plus the analytic depth gradient (K7).
+
+The reference K5 (``rasterize.py:517-748``) launches one CUDA thread per
+(batch, face) which, for each of the face's 3 edges x 2 walk axes, serially
+walks the columns (rows) crossed by the edge and, at every crossing, sweeps
+pixels "out" toward the image border and "in" toward the opposite edge,
+accumulating ``-diff_grad / dist`` whenever moving the edge over a pixel
+would decrease the loss (``diff_grad > 0`` gating, rasterize.py:647,717).
+
+Serial data-dependent walks don't map to TPU.  Two observations make the
+same math fully parallel:
+
+  * **in-sweep**: a pixel q participates in face fn's in-sweep iff
+    ``face_index_map[q] == fn`` (rasterize.py:707) — i.e. q is *covered by
+    its own face*.  So instead of walking from each crossing, every covered
+    pixel independently reconstructs the unique crossing of its own face's
+    edge with its own column/row and tests membership in the sweep interval.
+    O(pixels x 6), exact, no caps, embarrassingly parallel.
+
+  * **out-sweep**: a crossing is active iff its "in" pixel is visibly owned
+    by the face (rasterize.py:604) — again discoverable per covered pixel
+    (q is the in-pixel of its own face's crossing iff ``d1_in == q.d1``).
+    Each active crossing then contributes a masked reduction along its full
+    column/row, evaluated densely in row-chunks (exact; O(pixels x 6 x is)
+    worst case, bounded working set).
+
+All scatter accumulation is ``segment_sum`` — deterministic, no atomics.
+Gradients are with respect to NDC face coordinates (the reference maps pixel
+distances back with ``2/is``, rasterize.py:649), so they flow on through
+``vertices_to_faces`` / ``perspective`` / ``look_at`` by plain JAX autodiff.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from neural_renderer_tpu.rasterize import geometry
+
+_EA = [(e, a) for e in range(3) for a in range(2)]
+
+
+def _edge_coords(ppx, ppy, e, a):
+    """Walk-frame coordinates of the edge (and opposite vertex).
+
+    ppx/ppy: ``[..., 3]`` pixel-space vertex coords of each pixel's face.
+    Returns X (walk-axis coords) and Y (sweep-axis coords) for vertex order
+    pi = [(e+0)%3, (e+1)%3, (e+2)%3] (rasterize.py:547-556).
+    """
+    pi = [(e + k) % 3 for k in range(3)]
+    if a == 0:
+        X = [ppx[..., i] for i in pi]
+        Y = [ppy[..., i] for i in pi]
+    else:
+        X = [ppy[..., i] for i in pi]
+        Y = [ppx[..., i] for i in pi]
+    return X, Y
+
+
+def _direction(X0, X1, a):
+    """Sweep direction (rasterize.py:559-564): +-1 as f32."""
+    if a == 0:
+        return jnp.where(X0 < X1, -1.0, 1.0)
+    return jnp.where(X0 < X1, 1.0, -1.0)
+
+
+def _crossing(settings, X, Y, a, d0):
+    """Per-crossing quantities at walk coordinate d0 (float arrays).
+
+    Returns dict with direction, d1_cross, d1_in, d1_out (floats holding
+    exact integers) and ``valid`` (crossing exists & on-screen,
+    rasterize.py:567-579).
+    """
+    is_ = settings.image_size
+    X0, X1, _ = X
+    Y0, Y1, _ = Y
+    direction = _direction(X0, X1, a)
+
+    # d0 loop bounds (rasterize.py:568-569); C float->int truncation on the
+    # upper bound is emulated with trunc.
+    d0_from = jnp.maximum(jnp.ceil(jnp.minimum(X0, X1)), 0.0)
+    d0_to = jnp.trunc(jnp.minimum(jnp.maximum(X0, X1), is_ - 1.0))
+    in_extent = (d0 >= d0_from) & (d0 <= d0_to)
+
+    d1_cross = (Y1 - Y0) / (X1 - X0) * (d0 - X0) + Y0
+    d1_in = jnp.where(direction > 0, jnp.floor(d1_cross), jnp.ceil(d1_cross))
+    d1_out = d1_in + direction
+
+    ok = (in_extent
+          & (d1_in >= 0) & (d1_in <= is_ - 1)
+          & (d1_out >= 0) & (d1_out <= is_ - 1))
+    return dict(direction=direction, d1_cross=d1_cross,
+                d1_in=d1_in, d1_out=d1_out, valid=ok)
+
+
+def _in_limit(settings, X, Y, d0, direction):
+    """Opposite-edge sweep limit for the in-sweep (rasterize.py:663-670)."""
+    X0, X1, X2 = X
+    Y0, Y1, Y2 = Y
+    mid = (d0 - X0) * (d0 - X2) < 0
+    c_a = (Y2 - Y0) / (X2 - X0) * (d0 - X0) + Y0
+    c_b = (Y1 - Y2) / (X1 - X2) * (d0 - X2) + Y2
+    d0_cross2 = jnp.where(mid, c_a, c_b)
+    lim = jnp.where(direction > 0, jnp.ceil(d0_cross2), jnp.floor(d0_cross2))
+    # CUDA float->int of NaN yields 0; +-inf saturates (then clamps to the
+    # screen in the min/max downstream, which jnp.minimum/maximum handle).
+    return jnp.where(jnp.isnan(lim), 0.0, lim)
+
+
+def _dist_contrib(settings, diff_grad, delta, X0, X1, d0):
+    """The two ``-diff_grad / dist`` terms (rasterize.py:648-657,719-728).
+
+    Returns (c0, c1): contribution to vertex pi[0] and pi[1] (sweep-axis
+    coordinate), already gated on ``diff_grad > 0``.
+    """
+    is_ = settings.image_size
+    eps = settings.eps
+    gate = diff_grad > 0
+
+    def one(k_num, k_den):
+        dist = k_num / k_den * delta * 2.0 / is_
+        dist = jnp.where(dist > 0, dist + eps, dist - eps)
+        return -diff_grad / dist
+
+    c0 = jnp.where(gate & (X1 != d0), one(X1 - X0, X1 - d0), 0.0)
+    c1 = jnp.where(gate & (X0 != d0), one(X1 - X0, d0 - X0), 0.0)
+    return c0, c1
+
+
+def _map_gather(m, row, col):
+    """m: [bs, is, is(, c)]; row/col: [bs, ...] int32 -> gathered values."""
+    is_ = m.shape[1]
+    flat = m.reshape(m.shape[0], is_ * is_, *m.shape[3:])
+    idx = row * is_ + col
+    return jax.vmap(lambda mm, ii: mm[ii])(flat, idx)
+
+
+def grad_faces_pixel_map(settings, faces, face_index_map, rgb_map, alpha_map,
+                         grad_rgb_map, grad_alpha_map):
+    """K5: approximate d(loss)/d(faces x,y) from rgb/alpha map gradients.
+
+    Returns grad_faces ``[bs, nf, 3, 3]`` (z rows zero).
+    """
+    bs, nf = faces.shape[:2]
+    is_ = settings.image_size
+    covered = face_index_map >= 0
+    fidx = jnp.clip(face_index_map, 0, nf - 1)
+
+    # Each pixel's own face (covered pixels always hold front faces, so the
+    # reference's backface return at rasterize.py:540 is implicit).
+    face_w = jnp.take_along_axis(
+        faces.reshape(bs, nf, 9), fidx.reshape(bs, -1, 1), axis=1
+    ).reshape(bs, is_, is_, 3, 3)
+    ppx = geometry.to_pixel_coords(face_w[..., 0], is_)   # [bs, is, is, 3]
+    ppy = geometry.to_pixel_coords(face_w[..., 1], is_)
+
+    yi = jnp.broadcast_to(
+        jnp.arange(is_, dtype=jnp.float32)[None, :, None], (bs, is_, is_))
+    xi = jnp.broadcast_to(
+        jnp.arange(is_, dtype=jnp.float32)[None, None, :], (bs, is_, is_))
+
+    seg = jnp.where(covered,
+                    jnp.arange(bs, dtype=jnp.int32)[:, None, None] * nf + fidx,
+                    bs * nf)  # overflow bucket for uncovered pixels
+    seg_flat = seg.reshape(-1)
+
+    grad = jnp.zeros((bs * nf, 3, 3), jnp.float32)
+
+    for e, a in _EA:
+        X, Y = _edge_coords(ppx, ppy, e, a)
+        d0 = xi if a == 0 else yi
+        d1 = yi if a == 0 else xi
+        cr = _crossing(settings, X, Y, a, d0)
+
+        # ---------------- in-sweep (exact, per covered pixel) -------------
+        lim = _in_limit(settings, X, Y, d0, cr['direction'])
+        lo2 = jnp.maximum(jnp.minimum(cr['d1_in'], lim), 0.0)
+        hi2 = jnp.minimum(jnp.maximum(cr['d1_in'], lim), is_ - 1.0)
+        act_in = covered & cr['valid'] & (d1 >= lo2) & (d1 <= hi2)
+
+        # out-pixel reference values (rasterize.py:688-695)
+        out_d1 = jnp.clip(cr['d1_out'], 0, is_ - 1).astype(jnp.int32)
+        d0_i = d0.astype(jnp.int32)
+        row_o = out_d1 if a == 0 else d0_i
+        col_o = d0_i if a == 0 else out_d1
+        a_out = _map_gather(alpha_map, row_o, col_o)
+        rgb_out = _map_gather(rgb_map, row_o, col_o)
+
+        dg = jnp.zeros_like(d0)
+        if settings.return_alpha:
+            dg = dg + (alpha_map - a_out) * grad_alpha_map
+        if settings.return_rgb:
+            dg = dg + jnp.sum((rgb_map - rgb_out) * grad_rgb_map, axis=-1)
+        delta = d1 - cr['d1_cross']
+        c0, c1 = _dist_contrib(settings, dg, delta, X[0], X[1], d0)
+        c0 = jnp.where(act_in, c0, 0.0)
+        c1 = jnp.where(act_in, c1, 0.0)
+
+        # ---------------- out-sweep ---------------------------------------
+        # r is the in-pixel of its own face's crossing iff d1_in == r.d1.
+        act_out = covered & cr['valid'] & (cr['d1_in'] == d1)
+        o0, o1 = _out_sweep(settings, a, act_out, cr, X, d0,
+                            alpha_map, rgb_map, grad_rgb_map, grad_alpha_map)
+        c0 = c0 + o0
+        c1 = c1 + o1
+
+        s0 = jax.ops.segment_sum(c0.reshape(-1), seg_flat,
+                                 num_segments=bs * nf + 1)[:-1]
+        s1 = jax.ops.segment_sum(c1.reshape(-1), seg_flat,
+                                 num_segments=bs * nf + 1)[:-1]
+        grad = grad.at[:, e, 1 - a].add(s0)
+        grad = grad.at[:, (e + 1) % 3, 1 - a].add(s1)
+
+    return grad.reshape(bs, nf, 3, 3)
+
+
+def _out_sweep(settings, a, act_out, cr, X, d0,
+               alpha_map, rgb_map, grad_rgb_map, grad_alpha_map):
+    """Out-sweep totals per in-pixel r: masked reduction along r's column/row.
+
+    Dense and exact.  Row-chunked with ``lax.map`` so the [rows, is, is]
+    working set stays bounded by ``settings.grad_pixel_chunk``.
+    Returns (c0, c1) with the same [bs, is, is] shape as the discovery grid.
+    """
+    is_ = settings.image_size
+    bs = alpha_map.shape[0]
+
+    d1_limit = jnp.where(cr['direction'] > 0, float(is_ - 1), 0.0)
+    lo = jnp.maximum(jnp.minimum(cr['d1_out'], d1_limit), 0.0)
+    hi = jnp.minimum(jnp.maximum(cr['d1_out'], d1_limit), is_ - 1.0)
+
+    # Sweep line per r: its own column (a=0) / row (a=1).  Lay the maps out
+    # as [bs, line_id, sweep_pos(, c)] so r's line is line[:, r_line_id].
+    if a == 0:
+        line_a = alpha_map.transpose(0, 2, 1)
+        line_ga = grad_alpha_map.transpose(0, 2, 1)
+        line_rgb = rgb_map.transpose(0, 2, 1, 3)
+        line_grgb = grad_rgb_map.transpose(0, 2, 1, 3)
+    else:
+        line_a, line_ga = alpha_map, grad_alpha_map
+        line_rgb, line_grgb = rgb_map, grad_rgb_map
+
+    d1s = jnp.arange(is_, dtype=jnp.float32)
+
+    # Row-chunking: pad image rows to a multiple of R, then lax.map.
+    rows_per_chunk = max(1, min(is_, settings.grad_pixel_chunk // is_))
+    n_chunks = -(-is_ // rows_per_chunk)
+    pad = n_chunks * rows_per_chunk - is_
+
+    def prep(x):
+        """[bs, is, is] -> [n_chunks, bs, R, is] (row-padded)."""
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        return (x.reshape(bs, n_chunks, rows_per_chunk, is_)
+                .transpose(1, 0, 2, 3))
+
+    grids = jax.tree.map(prep, (
+        act_out.astype(jnp.float32), cr['d1_cross'], lo, hi,
+        X[0], X[1], d0, alpha_map, rgb_map.transpose(0, 3, 1, 2)[:, 0],
+        rgb_map.transpose(0, 3, 1, 2)[:, 1],
+        rgb_map.transpose(0, 3, 1, 2)[:, 2],
+    ))
+
+    def chunk_fn(args):
+        (act_c, d1c_c, lo_c, hi_c, X0_c, X1_c, d0_c,
+         a_in_c, r0_c, r1_c, r2_c) = args
+        rgb_in_c = jnp.stack([r0_c, r1_c, r2_c], axis=-1)
+        # line values for every r in the chunk: [bs, R, is, is(, c)]
+        if a == 0:
+            # line_id == column index == third grid axis
+            lsa = line_a[:, None, :, :]
+            lsga = line_ga[:, None, :, :]
+            lsrgb = line_rgb[:, None, :, :, :]
+            lsgrgb = line_grgb[:, None, :, :, :]
+        else:
+            # line_id == row index == second grid axis: rows of this chunk.
+            # Select the chunk's rows via the (integer) d0 of the chunk,
+            # which equals the global row index for a == 1.
+            ridx = d0_c[:, :, 0].astype(jnp.int32)          # [bs, R]
+            lsa = _take_rows(line_a, ridx)[:, :, None, :]
+            lsga = _take_rows(line_ga, ridx)[:, :, None, :]
+            lsrgb = _take_rows(line_rgb, ridx)[:, :, None, :, :]
+            lsgrgb = _take_rows(line_grgb, ridx)[:, :, None, :, :]
+
+        dg = jnp.zeros(act_c.shape + (is_,), jnp.float32)
+        if settings.return_alpha:
+            dg = dg + (lsa - a_in_c[..., None]) * lsga
+        if settings.return_rgb:
+            dg = dg + jnp.sum(
+                (lsrgb - rgb_in_c[..., None, :]) * lsgrgb, axis=-1)
+        in_range = ((d1s >= lo_c[..., None])
+                    & (d1s <= hi_c[..., None])
+                    & (act_c[..., None] > 0))
+        dg = jnp.where(in_range, dg, 0.0)
+        delta = d1s - d1c_c[..., None]
+        c0, c1 = _dist_contrib(settings, dg, delta,
+                               X0_c[..., None], X1_c[..., None],
+                               d0_c[..., None])
+        return jnp.sum(c0, axis=-1), jnp.sum(c1, axis=-1)
+
+    c0, c1 = jax.lax.map(chunk_fn, grids)
+    c0 = c0.transpose(1, 0, 2, 3).reshape(bs, n_chunks * rows_per_chunk, is_)
+    c1 = c1.transpose(1, 0, 2, 3).reshape(bs, n_chunks * rows_per_chunk, is_)
+    return c0[:, :is_], c1[:, :is_]
+
+
+def _take_rows(m, ridx):
+    """m: [bs, is, ...]; ridx: [bs, R] int32 -> [bs, R, ...]."""
+    return jax.vmap(lambda mm, ii: mm[ii])(m, ridx)
+
+
+def grad_faces_depth(settings, faces, face_index_map, face_inv_map,
+                     weight_map, depth_map, grad_depth_map):
+    """K7: analytic depth gradient (rasterize.py:794-847).
+
+    dL/dz_k += g * w_k * d^2 / z_k^2 ;
+    dL/d(x,y)_k += -g * tmp_l * w_k * d^2 * is/2,
+    tmp_l = sum_rows(-face_inv[row, l] / z_row).
+    Scatter-add per pixel into its face — segment_sum, no atomics.
+    """
+    bs, nf = faces.shape[:2]
+    is_ = settings.image_size
+    covered = face_index_map >= 0
+    fidx = jnp.clip(face_index_map, 0, nf - 1)
+
+    z = jnp.take_along_axis(
+        faces[..., 2].reshape(bs, nf, 3), fidx.reshape(bs, -1, 1), axis=1
+    ).reshape(bs, is_, is_, 3)
+
+    d2 = depth_map * depth_map
+    g = grad_depth_map
+
+    gz = g[..., None] * weight_map * d2[..., None] / (z * z)   # [bs,is,is,3]
+    tmp = jnp.sum(-face_inv_map / z[..., None], axis=-2)       # [bs,is,is,3]
+    gxy = (-g[..., None, None] * tmp[..., None, :2]
+           * weight_map[..., None] * d2[..., None, None] * (is_ / 2.0))
+
+    contrib = jnp.concatenate([gxy, gz[..., None]], axis=-1)   # [bs,is,is,3,3]
+    contrib = jnp.where(covered[..., None, None], contrib, 0.0)
+
+    seg = jnp.where(covered,
+                    jnp.arange(bs, dtype=jnp.int32)[:, None, None] * nf + fidx,
+                    bs * nf)
+    flat = jax.ops.segment_sum(contrib.reshape(-1, 9), seg.reshape(-1),
+                               num_segments=bs * nf + 1)[:-1]
+    return flat.reshape(bs, nf, 3, 3)

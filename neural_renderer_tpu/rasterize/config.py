@@ -1,0 +1,63 @@
+"""Rasterizer defaults and static settings.
+
+Defaults mirror the reference (``rasterize.py:7-12``):
+IMAGE_SIZE=256, ANTI_ALIASING=True, NEAR=0.1, FAR=100, EPS=1e-4,
+BACKGROUND_COLOR=(0,0,0).
+"""
+
+import dataclasses
+from typing import Optional, Tuple
+
+DEFAULT_IMAGE_SIZE = 256
+DEFAULT_ANTI_ALIASING = True
+DEFAULT_NEAR = 0.1
+DEFAULT_FAR = 100.0
+DEFAULT_EPS = 1e-4
+DEFAULT_BACKGROUND_COLOR = (0.0, 0.0, 0.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterizeSettings:
+    """Static (hashable) rasterizer configuration.
+
+    The first block mirrors the reference ``Rasterize.__init__`` arguments
+    (``rasterize.py:19-37``).  The second block holds TPU performance knobs
+    that have no reference counterpart; all default to exact behavior.
+    """
+    image_size: int = DEFAULT_IMAGE_SIZE
+    near: float = DEFAULT_NEAR
+    far: float = DEFAULT_FAR
+    eps: float = DEFAULT_EPS
+    background_color: Tuple[float, float, float] = DEFAULT_BACKGROUND_COLOR
+    return_rgb: bool = True
+    return_alpha: bool = True
+    return_depth: bool = True
+
+    # --- TPU performance knobs (exact-by-default) ---
+    # 'xla'    : fused pure-XLA argmin-z forward (runs on CPU/GPU/TPU).
+    # 'pallas' : tile-binned Pallas TPU kernel.
+    # 'auto'   : pallas on TPU when shapes allow, else xla.
+    backend: str = 'auto'
+    # XLA forward: number of faces per scan chunk (memory/throughput knob).
+    face_chunk: int = 512
+    # Pallas forward: pixel-tile rows (x 128 columns) and max faces binned
+    # per tile.  8 rows x 128 cols is the native f32 vreg tile.  Faces are
+    # streamed through the kernel in 128-face chunks with per-tile counts,
+    # so a generous cap only costs binning memory, not compute.
+    tile_size: int = 8
+    faces_per_tile_cap: int = 1024
+    # Backward (K5) "out"-sweep: None = dense/exact; an int compacts the
+    # active edge crossings to this static cap (per batch element) before the
+    # row/column sweeps — required for large batches, validate with
+    # `backward.count_out_crossings` before trusting a cap.
+    grad_out_cap: Optional[int] = None
+    # Backward: pixel-chunk size for the dense out-sweep scan.
+    grad_pixel_chunk: int = 65536
+
+    def validate(self):
+        if not (self.return_rgb or self.return_alpha or self.return_depth):
+            raise ValueError('nothing to draw '
+                             '(reference rasterize.py:25-27 raises too)')
+        if self.backend not in ('xla', 'pallas', 'auto'):
+            raise ValueError(f'unknown backend {self.backend!r}')
+        return self

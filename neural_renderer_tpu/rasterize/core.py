@@ -1,0 +1,132 @@
+"""rasterize_core: the custom-VJP op tying forward maps to the approximate
+backward.
+
+Mirrors the reference ``Rasterize`` chainer.Function (``rasterize.py:19-897``):
+forward produces (rgb, alpha, depth) from NDC faces (+ texture cubes), and
+the backward is *defined* — not derived — as the paper's approximate vertex
+gradient (K5) + exact texture scatter (K6) + analytic depth gradient (K7).
+Where the reference caches forward state on the Function object
+(``rasterize.py:53-58``), we save ``custom_vjp`` residuals.
+
+Outputs are raster-space maps: row 0 = top in +y-down pixel space; the
+public wrappers in ``api.py`` apply the reference's NCHW transpose / vertical
+flip / anti-aliasing (``rasterize.py:953-969``).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from neural_renderer_tpu.rasterize import backward as bwd
+from neural_renderer_tpu.rasterize import forward_xla
+from neural_renderer_tpu.rasterize import texture as tex
+
+_DUMMY = functools.partial(jnp.zeros, (1,), jnp.float32)
+
+
+def _select_forward(settings, faces):
+    """Pick the face-index-map backend (pallas on TPU when available)."""
+    if settings.backend == 'xla':
+        return forward_xla.forward_face_index_map(settings, faces)
+    if settings.backend in ('pallas', 'auto'):
+        try:
+            from neural_renderer_tpu.rasterize import forward_pallas
+            ok = forward_pallas.supported(settings, faces)
+        except ImportError:
+            ok = False
+        if ok:
+            return forward_pallas.forward_face_index_map(settings, faces)
+        if settings.backend == 'pallas':
+            raise ValueError('pallas backend requested but unsupported for '
+                             f'this configuration (image_size='
+                             f'{settings.image_size}, backend platform='
+                             f'{jax.default_backend()})')
+    return forward_xla.forward_face_index_map(settings, faces)
+
+
+def _forward_all(settings, faces, textures):
+    """Full forward: maps + composited outputs.
+
+    Returns (rgb, alpha, depth, residuals).
+    """
+    face_index_map, _ = _select_forward(settings, faces)
+    weight_map, depth_map, face_inv_map = forward_xla.winner_attributes(
+        settings, faces, face_index_map)
+    covered = face_index_map >= 0
+
+    if settings.return_rgb:
+        rgb_map = tex.sample_textures(
+            settings, faces, textures, face_index_map, weight_map, depth_map)
+        # background composite (rasterize.py:451-465); part of the forward —
+        # the backward reads the *composited* rgb map, like the reference.
+        bg = jnp.asarray(settings.background_color, jnp.float32)
+        mask = covered.astype(jnp.float32)[..., None]
+        rgb_map = rgb_map * mask + (1.0 - mask) * bg[None, None, None, :]
+    else:
+        rgb_map = jnp.zeros(
+            (faces.shape[0], settings.image_size, settings.image_size, 3),
+            jnp.float32)
+
+    alpha_map = covered.astype(jnp.float32)
+
+    res = dict(faces=faces, textures=textures,
+               face_index_map=face_index_map, weight_map=weight_map,
+               depth_map=depth_map, face_inv_map=face_inv_map,
+               rgb_map=rgb_map, alpha_map=alpha_map)
+
+    rgb_out = rgb_map if settings.return_rgb else _DUMMY()
+    alpha_out = alpha_map if settings.return_alpha else _DUMMY()
+    depth_out = depth_map if settings.return_depth else _DUMMY()
+    return rgb_out, alpha_out, depth_out, res
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def rasterize_core(settings, faces, textures):
+    """faces [bs,nf,3,3] NDC, textures [bs,nf,ts,ts,ts,3] -> (rgb,alpha,depth).
+
+    Unrequested channels are shape-(1,) zero placeholders (static per
+    settings).  rgb is [bs,is,is,3] raster-space (pre-flip).
+    """
+    rgb, alpha, depth, _ = _forward_all(settings, faces, textures)
+    return rgb, alpha, depth
+
+
+def _fwd(settings, faces, textures):
+    rgb, alpha, depth, res = _forward_all(settings, faces, textures)
+    return (rgb, alpha, depth), res
+
+
+def _bwd(settings, res, cotangents):
+    g_rgb, g_alpha, g_depth = cotangents
+    faces = res['faces']
+    bs, nf = faces.shape[:2]
+    is_ = settings.image_size
+
+    zero_map = jnp.zeros((bs, is_, is_), jnp.float32)
+    g_rgb_map = g_rgb if settings.return_rgb else jnp.zeros(
+        (bs, is_, is_, 3), jnp.float32)
+    g_alpha_map = g_alpha if settings.return_alpha else zero_map
+    g_depth_map = g_depth if settings.return_depth else zero_map
+
+    grad_faces = jnp.zeros_like(faces)
+    if settings.return_rgb or settings.return_alpha:
+        grad_faces = grad_faces + bwd.grad_faces_pixel_map(
+            settings, faces, res['face_index_map'], res['rgb_map'],
+            res['alpha_map'], g_rgb_map, g_alpha_map)
+    if settings.return_depth:
+        grad_faces = grad_faces + bwd.grad_faces_depth(
+            settings, faces, res['face_index_map'], res['face_inv_map'],
+            res['weight_map'], res['depth_map'], g_depth_map)
+
+    if settings.return_rgb:
+        grad_textures = tex.grad_textures(
+            settings, faces, res['face_index_map'], res['weight_map'],
+            res['depth_map'], g_rgb_map, res['textures'].shape)
+    else:
+        grad_textures = jnp.zeros_like(res['textures'])
+
+    return grad_faces, grad_textures
+
+
+rasterize_core.defvjp(_fwd, _bwd)

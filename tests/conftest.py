@@ -1,0 +1,36 @@
+"""Test harness config.
+
+Tests run on the default JAX backend (the real TPU when present, else CPU) —
+golden-image exactness and the hard-coded gradient cases hold on both.
+Sharding tests always use a virtual 8-device CPU mesh
+(--xla_force_host_platform_device_count), available regardless of how many
+real chips exist; see ``cpu_mesh_devices`` below.
+
+Note: this environment may pre-import jax with a TPU plugin platform
+(JAX_PLATFORMS=axon) before conftest runs, so XLA_FLAGS must be set here
+(before first backend use) rather than per-test.
+"""
+
+import os
+
+flags = os.environ.get('XLA_FLAGS', '')
+if '--xla_force_host_platform_device_count' not in flags:
+    os.environ['XLA_FLAGS'] = (
+        flags + ' --xla_force_host_platform_device_count=8').strip()
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+DATA_DIR = pathlib.Path(__file__).resolve().parent / 'data'
+
+
+def cpu_mesh_devices(n=8):
+    """n virtual CPU devices for sharding tests (works on any host)."""
+    import jax
+    devices = jax.devices('cpu')
+    assert len(devices) >= n, (
+        f'expected >= {n} virtual CPU devices, got {len(devices)} — '
+        'XLA_FLAGS must be set before the CPU backend initializes')
+    return devices[:n]

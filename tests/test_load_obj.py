@@ -1,0 +1,66 @@
+"""OBJ loading tests (reference tests/test_load_obj.py)."""
+
+import os
+
+import numpy as np
+
+import neural_renderer_tpu as nr
+from utils import DATA_DIR
+
+
+def test_tetrahedron():
+    vertices_ref = np.array(
+        [[1., 0., 0.], [0., 1., 0.], [0., 0., 1.], [0., 0., 0.]], 'float32')
+    faces_ref = np.array(
+        [[1, 3, 2], [3, 1, 0], [2, 0, 1], [0, 2, 3]], 'int32')
+
+    path = os.path.join(DATA_DIR, 'tetrahedron.obj')
+    vertices, faces = nr.load_obj(path, False)
+    assert np.allclose(vertices_ref, vertices)
+    assert np.allclose(faces_ref, faces)
+    vertices, faces = nr.load_obj(path, True)
+    assert np.allclose(vertices_ref * 2 - 1.0, vertices)
+    assert np.allclose(faces_ref, faces)
+
+
+def test_teapot():
+    vertices, faces = nr.load_obj(os.path.join(DATA_DIR, 'teapot.obj'))
+    assert faces.shape[0] == 2464
+    assert vertices.shape[0] == 1292
+
+
+def test_texture_loading(tmp_path):
+    """Synthetic OBJ+MTL+PNG texture loading (the reference's ShapeNet asset
+    was stripped from the mount; this covers the same K8 path)."""
+    from neural_renderer_tpu.io.image import imsave
+
+    # 2-color texture image: left red, right blue (before vertical flip)
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[:, :4] = [255, 0, 0]
+    img[:, 4:] = [0, 0, 255]
+    imsave(str(tmp_path / 'tex.png'), img)
+
+    (tmp_path / 'model.mtl').write_text(
+        'newmtl mat_tex\nmap_Kd tex.png\n'
+        'newmtl mat_green\nKd 0.0 1.0 0.0\n')
+    (tmp_path / 'model.obj').write_text(
+        'mtllib model.mtl\n'
+        'v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\n'
+        'vt 0.1 0.5\nvt 0.2 0.5\nvt 0.15 0.6\n'   # left (red) region
+        'vt 0.8 0.5\nvt 0.9 0.5\nvt 0.85 0.6\n'   # right (blue) region
+        'usemtl mat_tex\n'
+        'f 1/1 2/2 3/3\n'
+        'f 2/4 4/5 3/6\n'
+        'usemtl mat_green\n'
+        'f 1/1 2/2 4/3\n')
+
+    vertices, faces, textures = nr.load_obj(
+        str(tmp_path / 'model.obj'), normalization=False, texture_size=4,
+        load_texture=True)
+    assert textures.shape == (3, 4, 4, 4, 3)
+    # face 0 samples the red region, face 1 the blue one, face 2 is flat Kd.
+    assert textures[0, ..., 0].mean() > 0.9
+    assert textures[0, ..., 2].mean() < 0.1
+    assert textures[1, ..., 2].mean() > 0.9
+    np.testing.assert_allclose(
+        textures[2], np.broadcast_to([0., 1., 0.], textures[2].shape))

@@ -1,0 +1,100 @@
+"""Sharding tests on a virtual 8-device CPU mesh: batch-parallel rendering
+and the data-parallel train step must match single-device results (the
+reference has no distributed path — SURVEY.md section 2.3 — so the contract
+here is exact equivalence, not golden data)."""
+
+import numpy as np
+import pytest
+
+import conftest
+
+
+@pytest.fixture(scope='module')
+def mesh8():
+    import jax  # noqa: F401  (backend init after XLA_FLAGS)
+    from neural_renderer_tpu import parallel
+    return parallel.default_mesh(conftest.cpu_mesh_devices(8))
+
+
+def _scene(batch_size):
+    import jax.numpy as jnp
+    vertices = jnp.asarray(
+        [[1., 0., 0.], [0., 1., 0.], [0., 0., 1.], [0., 0., 0.]],
+        jnp.float32) * 2 - 1
+    faces = jnp.asarray(
+        [[1, 3, 2], [3, 1, 0], [2, 0, 1], [0, 2, 3]], jnp.int32)
+    v = jnp.broadcast_to(vertices, (batch_size,) + vertices.shape)
+    f = jnp.broadcast_to(faces, (batch_size,) + faces.shape)
+    return v, f
+
+
+def test_sharded_silhouette_matches_single_device(mesh8):
+    import jax
+    import neural_renderer_tpu as nr
+    from neural_renderer_tpu import parallel
+
+    renderer = nr.Renderer()
+    renderer.image_size = 32
+    renderer.anti_aliasing = False
+    renderer.perf_overrides = dict(backend='xla')
+
+    v, f = _scene(8)
+    # reference render on the SAME (CPU) backend with the SAME per-device
+    # batch shape (bs=1): boundary pixels are sensitive to the compiled
+    # program (fma contraction differs across platforms and across batch
+    # shapes), so the contract is equality against the per-shard program.
+    cpu0 = conftest.cpu_mesh_devices(1)[0]
+    v_c = jax.device_put(v[:1], cpu0)
+    f_c = jax.device_put(f[:1], cpu0)
+    single = np.asarray(jax.jit(renderer.render_silhouettes)(v_c, f_c))[0]
+    v_s, f_s = parallel.shard_batch(mesh8, v, f)
+    sharded = np.asarray(parallel.sharded_render(
+        renderer, mesh8, v_s, f_s, mode='silhouettes'))
+    assert sharded.shape == (8, 32, 32)
+    for b in range(8):
+        np.testing.assert_array_equal(single, sharded[b])
+
+
+def test_data_parallel_train_step(mesh8):
+    import jax
+    import jax.numpy as jnp
+    import neural_renderer_tpu as nr
+    from neural_renderer_tpu import parallel
+
+    renderer = nr.Renderer()
+    renderer.image_size = 16
+    renderer.anti_aliasing = False
+    renderer.perf_overrides = dict(backend='xla')
+
+    v, f = _scene(1)
+    faces = f[0]
+    targets = np.zeros((8, 16, 16), 'float32')
+    targets[:, 4:12, 4:12] = 1.0
+    eyes = np.stack([
+        np.asarray(nr.get_points_from_angles(
+            np.float32(2.732), np.float32(15.0), np.float32(a)))
+        for a in np.linspace(0, 360, 8, endpoint=False)])
+
+    def loss_fn(params, batch):
+        eye, target = batch
+        bs = eye.shape[0]
+        vv = jnp.broadcast_to(params['vertices'],
+                              (bs,) + params['vertices'].shape)
+        ff = jnp.broadcast_to(faces, (bs,) + faces.shape)
+        renderer.eye = eye
+        image = renderer.render_silhouettes(vv, ff)
+        return jnp.mean(jnp.square(image - target))
+
+    init_fn, update_fn = nr.adam(alpha=0.05)
+    params = dict(vertices=v[0])
+    opt_state = init_fn(params)
+    step = parallel.make_data_parallel_train_step(loss_fn, update_fn, mesh8)
+
+    batch = (parallel.shard_batch(mesh8, jnp.asarray(eyes)),
+             parallel.shard_batch(mesh8, jnp.asarray(targets)))
+    losses = []
+    for _ in range(3):
+        params, opt_state, loss = step(params, opt_state, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # gradient direction is productive

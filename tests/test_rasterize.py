@@ -1,0 +1,101 @@
+"""Textured-render tests (reference tests/test_rasterize.py): Blender golden
+silhouette match + the two hard-coded approximate-gradient regimes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import neural_renderer_tpu as nr
+import utils
+
+
+@pytest.fixture(scope='module')
+def teapot_batch():
+    return utils.load_teapot_batch()
+
+
+def test_forward_case1_smoke(teapot_batch):
+    """Rendering a teapot without anti-aliasing (reference saves a PNG; we
+    assert basic output sanity instead of writing files)."""
+    vertices, faces, textures = teapot_batch
+    renderer = nr.Renderer()
+    renderer.image_size = 64      # smoke only; golden runs at 256 below
+    renderer.anti_aliasing = False
+    images = np.asarray(jax.jit(renderer.render)(vertices, faces, textures))
+    assert images.shape == (4, 3, 64, 64)
+    assert images[2].max() > 0.5
+    # batch independence: zero batch rows render empty
+    assert images[0].max() == 0 and images[3].max() == 0
+
+
+def test_forward_case3_blender_golden(teapot_batch):
+    """Whether a silhouette by this renderer matches Blender's
+    (reference test_rasterize.py:52-74, near-pixel-exact)."""
+    vertices, faces, textures = teapot_batch
+    renderer = nr.Renderer()
+    renderer.image_size = 256
+    renderer.anti_aliasing = False
+    renderer.light_intensity_ambient = 1.0
+    renderer.light_intensity_directional = 0.0
+
+    images = np.asarray(jax.jit(renderer.render)(vertices, faces, textures))
+    image = images[2].mean(0)
+
+    ref = utils.load_blender_silhouette()
+    # the reference asserts chainer.testing.assert_allclose (rtol=1e-4,
+    # atol=1e-5) i.e. binary-exact coverage.
+    np.testing.assert_allclose(ref, image, rtol=1e-4, atol=1e-5)
+
+
+def _backward_case(vertices, faces_idx, pyi, pxi, grad_ref, on_face):
+    renderer = nr.Renderer()
+    renderer.image_size = 64
+    renderer.anti_aliasing = False
+    renderer.perspective = False
+    renderer.light_intensity_ambient = 1.0
+    renderer.light_intensity_directional = 0.0
+
+    vertices = np.array(vertices, 'float32')
+    faces = np.array(faces_idx, 'int32')
+    textures = np.ones((faces.shape[0], 4, 4, 4, 3), 'float32')
+    grad_ref = np.array(grad_ref, 'float32')
+    vertices, faces, textures, grad_ref = utils.to_minibatch(
+        (vertices, faces, textures, grad_ref))
+
+    def loss_fn(v):
+        images = renderer.render(v, faces, textures)
+        images = jnp.mean(images, axis=1)
+        if on_face:
+            return jnp.sum(jnp.abs(images[:, pyi, pxi]))
+        return jnp.sum(jnp.abs(images[:, pyi, pxi] - 1))
+
+    grad = np.asarray(jax.jit(jax.grad(loss_fn))(jnp.asarray(vertices)))
+    np.testing.assert_allclose(grad, grad_ref, rtol=1e-2, atol=1e-5)
+
+
+def test_backward_case1():
+    """Backward if the non-zero gradient pixel is OUTSIDE the face
+    (reference test_rasterize.py:76-111, hard-coded grads pin the 'out'
+    sweep of the approximate backward)."""
+    _backward_case(
+        vertices=[[0.8, 0.8, 1.], [0.0, -0.5, 1.], [0.2, -0.4, 1.]],
+        faces_idx=[[0, 1, 2]],
+        pyi=25, pxi=35,
+        grad_ref=[[1.6725862, -0.26021874, 0.],
+                  [1.41986704, -1.64284933, 0.],
+                  [0., 0., 0.]],
+        on_face=False)
+
+
+def test_backward_case2():
+    """Backward if the non-zero gradient pixel is ON the face
+    (reference test_rasterize.py:113-149, pins the 'in' sweep)."""
+    _backward_case(
+        vertices=[[0.8, 0.8, 1.], [-0.5, -0.8, 1.], [0.8, -0.8, 1.]],
+        faces_idx=[[0, 1, 2]],
+        pyi=40, pxi=50,
+        grad_ref=[[0.98646867, 1.04628897, 0.],
+                  [-1.03415668, -0.10403691, 0.],
+                  [3.00094461, -1.55173182, 0.]],
+        on_face=True)
