@@ -164,6 +164,7 @@ def grad_faces_pixel_map(settings, faces, face_index_map, rgb_map, alpha_map,
     seg_flat = seg.reshape(-1)
 
     grad = jnp.zeros((bs * nf, 3, 3), jnp.float32)
+    act_out_masks = {}
 
     for e, a in _EA:
         X, Y = _edge_coords(ppx, ppy, e, a)
@@ -198,10 +199,13 @@ def grad_faces_pixel_map(settings, faces, face_index_map, rgb_map, alpha_map,
         # ---------------- out-sweep ---------------------------------------
         # r is the in-pixel of its own face's crossing iff d1_in == r.d1.
         act_out = covered & cr['valid'] & (cr['d1_in'] == d1)
-        o0, o1 = _out_sweep(settings, a, act_out, cr, X, d0,
-                            alpha_map, rgb_map, grad_rgb_map, grad_alpha_map)
-        c0 = c0 + o0
-        c1 = c1 + o1
+        if settings.grad_out_cap is None:
+            o0, o1 = _out_sweep(settings, a, act_out, cr, X, d0, alpha_map,
+                                rgb_map, grad_rgb_map, grad_alpha_map)
+            c0 = c0 + o0
+            c1 = c1 + o1
+        else:
+            act_out_masks[(e, a)] = act_out
 
         s0 = jax.ops.segment_sum(c0.reshape(-1), seg_flat,
                                  num_segments=bs * nf + 1)[:-1]
@@ -210,7 +214,168 @@ def grad_faces_pixel_map(settings, faces, face_index_map, rgb_map, alpha_map,
         grad = grad.at[:, e, 1 - a].add(s0)
         grad = grad.at[:, (e + 1) % 3, 1 - a].add(s1)
 
+    if settings.grad_out_cap is not None:
+        for a in (0, 1):
+            masks = jnp.stack([act_out_masks[(e, a)] for e in range(3)],
+                              axis=1)                        # [bs, 3, is, is]
+            grad = grad + _out_sweep_compact(
+                settings, a, masks, fidx, nf, ppx, ppy,
+                alpha_map, rgb_map, grad_rgb_map, grad_alpha_map
+            ).reshape(bs * nf, 3, 3)
+
     return grad.reshape(bs, nf, 3, 3)
+
+
+def count_out_crossings(settings, faces, face_index_map):
+    """Max active out-sweep crossings per (batch element, axis) — validate
+    ``grad_out_cap`` before trusting a compacted backward on a scene."""
+    bs, nf = faces.shape[:2]
+    is_ = settings.image_size
+    covered = face_index_map >= 0
+    fidx = jnp.clip(face_index_map, 0, nf - 1)
+    face_w = jnp.take_along_axis(
+        faces.reshape(bs, nf, 9), fidx.reshape(bs, -1, 1), axis=1
+    ).reshape(bs, is_, is_, 3, 3)
+    ppx = geometry.to_pixel_coords(face_w[..., 0], is_)
+    ppy = geometry.to_pixel_coords(face_w[..., 1], is_)
+    yi = jnp.broadcast_to(
+        jnp.arange(is_, dtype=jnp.float32)[None, :, None], (bs, is_, is_))
+    xi = jnp.broadcast_to(
+        jnp.arange(is_, dtype=jnp.float32)[None, None, :], (bs, is_, is_))
+    best = 0
+    for a in (0, 1):
+        total = jnp.zeros((bs,), jnp.int32)
+        for e in range(3):
+            X, Y = _edge_coords(ppx, ppy, e, a)
+            d0 = xi if a == 0 else yi
+            d1 = yi if a == 0 else xi
+            cr = _crossing(settings, X, Y, a, d0)
+            act = covered & cr['valid'] & (cr['d1_in'] == d1)
+            total = total + act.sum(axis=(1, 2), dtype=jnp.int32)
+        best = jnp.maximum(best, total.max())
+    return best
+
+
+def _out_sweep_compact(settings, a, masks, fidx, nf, ppx, ppy,
+                       alpha_map, rgb_map, grad_rgb_map, grad_alpha_map):
+    """Compacted out-sweep for one axis: gather the (rare) active crossings
+    to a static per-batch cap, then sweep each along its full row/column.
+
+    masks: [bs, 3(edges), is, is] bool activity from the dense discovery.
+    Returns grad contribution [bs, nf, 3, 3].  Exact iff the per-batch
+    active-crossing count <= settings.grad_out_cap (validate with
+    ``count_out_crossings``); overflow records are dropped.
+    """
+    bs = masks.shape[0]
+    is_ = settings.image_size
+    cap = settings.grad_out_cap
+
+    flat = masks.reshape(bs, -1)
+    counts = flat.sum(axis=1)
+
+    def nz(m):
+        return jnp.nonzero(m, size=cap, fill_value=0)[0].astype(jnp.int32)
+
+    rec = jax.vmap(nz)(flat)                                 # [bs, cap]
+    valid = (jnp.arange(cap, dtype=jnp.int32)[None, :]
+             < jnp.minimum(counts, cap)[:, None])
+
+    e_r = rec // (is_ * is_)
+    yi_r = (rec // is_) % is_
+    xi_r = rec % is_
+
+    def gmap(m):
+        return _map_gather(m, yi_r, xi_r)
+
+    f_r = gmap(fidx)                                         # [bs, cap]
+    ppx_r = gmap(ppx)                                        # [bs, cap, 3]
+    ppy_r = gmap(ppy)
+    a_in = gmap(alpha_map)
+    rgb_in = gmap(rgb_map)
+
+    # walk-frame coords with data-dependent edge index
+    pi0 = e_r
+    pi1 = (e_r + 1) % 3
+    pi2 = (e_r + 2) % 3
+
+    def vert(arr, pi):
+        return jnp.take_along_axis(arr, pi[..., None], axis=-1)[..., 0]
+
+    if a == 0:
+        Xs = [vert(ppx_r, p) for p in (pi0, pi1, pi2)]
+        Ys = [vert(ppy_r, p) for p in (pi0, pi1, pi2)]
+    else:
+        Xs = [vert(ppy_r, p) for p in (pi0, pi1, pi2)]
+        Ys = [vert(ppx_r, p) for p in (pi0, pi1, pi2)]
+
+    d0 = (xi_r if a == 0 else yi_r).astype(jnp.float32)
+    cr = _crossing(settings, Xs, Ys, a, d0)
+    d1_limit = jnp.where(cr['direction'] > 0, float(is_ - 1), 0.0)
+    lo = jnp.maximum(jnp.minimum(cr['d1_out'], d1_limit), 0.0)
+    hi = jnp.minimum(jnp.maximum(cr['d1_out'], d1_limit), is_ - 1.0)
+
+    # sweep lines: record r's own column (a=0) / row (a=1)
+    if a == 0:
+        line_a = alpha_map.transpose(0, 2, 1)
+        line_ga = grad_alpha_map.transpose(0, 2, 1)
+        line_rgb = rgb_map.transpose(0, 2, 1, 3)
+        line_grgb = grad_rgb_map.transpose(0, 2, 1, 3)
+        line_id = xi_r
+    else:
+        line_a, line_ga = alpha_map, grad_alpha_map
+        line_rgb, line_grgb = rgb_map, grad_rgb_map
+        line_id = yi_r
+
+    d1s = jnp.arange(is_, dtype=jnp.float32)
+
+    rc = max(1, (64 * 1024 * 1024) // max(1, bs * is_ * 4))
+    n_chunks = -(-cap // rc)
+    pad = n_chunks * rc - cap
+
+    def prep(x):
+        x = jnp.pad(x, ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2))
+        return jnp.moveaxis(
+            x.reshape((bs, n_chunks, rc) + x.shape[2:]), 1, 0)
+
+    grids = jax.tree.map(prep, (
+        valid.astype(jnp.float32), line_id, cr['d1_cross'], lo, hi,
+        Xs[0], Xs[1], d0, a_in, rgb_in))
+
+    def chunk_fn(args):
+        (v_c, lid_c, d1c_c, lo_c, hi_c, X0_c, X1_c, d0_c,
+         a_in_c, rgb_in_c) = args
+        lsa = _take_rows(line_a, lid_c)                      # [bs, rc, is]
+        lsga = _take_rows(line_ga, lid_c)
+        dg = jnp.zeros((bs, rc, is_), jnp.float32)
+        if settings.return_alpha:
+            dg = dg + (lsa - a_in_c[..., None]) * lsga
+        if settings.return_rgb:
+            lsrgb = _take_rows(line_rgb, lid_c)
+            lsgrgb = _take_rows(line_grgb, lid_c)
+            dg = dg + jnp.sum(
+                (lsrgb - rgb_in_c[..., None, :]) * lsgrgb, axis=-1)
+        in_range = ((d1s >= lo_c[..., None]) & (d1s <= hi_c[..., None])
+                    & (v_c[..., None] > 0))
+        dg = jnp.where(in_range, dg, 0.0)
+        delta = d1s - d1c_c[..., None]
+        c0, c1 = _dist_contrib(settings, dg, delta,
+                               X0_c[..., None], X1_c[..., None],
+                               d0_c[..., None])
+        return jnp.sum(c0, axis=-1), jnp.sum(c1, axis=-1)
+
+    c0, c1 = jax.lax.map(chunk_fn, grids)
+    c0 = jnp.moveaxis(c0, 0, 1).reshape(bs, -1)[:, :cap]
+    c1 = jnp.moveaxis(c1, 0, 1).reshape(bs, -1)[:, :cap]
+    c0 = jnp.where(valid, c0, 0.0)
+    c1 = jnp.where(valid, c1, 0.0)
+
+    # scatter-add into [bs, nf, 3, 3]: vertex pi0/pi1, coordinate (1 - a)
+    grad = jnp.zeros((bs, nf, 3, 3), jnp.float32)
+    b_idx = jnp.broadcast_to(jnp.arange(bs, dtype=jnp.int32)[:, None],
+                             f_r.shape)
+    grad = grad.at[b_idx, f_r, pi0, 1 - a].add(c0)
+    grad = grad.at[b_idx, f_r, pi1, 1 - a].add(c1)
+    return grad
 
 
 def _out_sweep(settings, a, act_out, cr, X, d0,
@@ -242,7 +407,9 @@ def _out_sweep(settings, a, act_out, cr, X, d0,
     d1s = jnp.arange(is_, dtype=jnp.float32)
 
     # Row-chunking: pad image rows to a multiple of R, then lax.map.
-    rows_per_chunk = max(1, min(is_, settings.grad_pixel_chunk // is_))
+    # grad_pixel_chunk bounds the [bs, R, is, is] working set per step.
+    rows_per_chunk = max(1, min(is_, settings.grad_pixel_chunk
+                                // max(1, is_ * bs)))
     n_chunks = -(-is_ // rows_per_chunk)
     pad = n_chunks * rows_per_chunk - is_
 

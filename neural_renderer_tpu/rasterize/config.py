@@ -40,12 +40,11 @@ class RasterizeSettings:
     backend: str = 'auto'
     # XLA forward: number of faces per scan chunk (memory/throughput knob).
     face_chunk: int = 512
-    # Pallas forward: pixel-tile rows (x 128 columns) and max faces binned
-    # per tile.  8 rows x 128 cols is the native f32 vreg tile.  Faces are
-    # streamed through the kernel in 128-face chunks with per-tile counts,
-    # so a generous cap only costs binning memory, not compute.
-    tile_size: int = 8
-    faces_per_tile_cap: int = 1024
+    # Pallas forward: max faces binned per 32x32 screen patch.  None = auto
+    # (scales with faces-per-patch density: min(nf, max(256, 8*nf/patches))).
+    # Faces stream through the kernel in 128-face chunks gated by per-patch
+    # counts, so a generous cap costs binning memory, not kernel compute.
+    faces_per_tile_cap: Optional[int] = None
     # Backward (K5) "out"-sweep: None = dense/exact; an int compacts the
     # active edge crossings to this static cap (per batch element) before the
     # row/column sweeps — required for large batches, validate with

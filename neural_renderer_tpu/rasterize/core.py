@@ -50,10 +50,19 @@ def _forward_all(settings, faces, textures):
 
     Returns (rgb, alpha, depth, residuals).
     """
-    face_index_map, _ = _select_forward(settings, faces)
-    weight_map, depth_map, face_inv_map = forward_xla.winner_attributes(
-        settings, faces, face_index_map)
+    face_index_map, depth_scan = _select_forward(settings, faces)
     covered = face_index_map >= 0
+    if settings.return_rgb or settings.return_depth:
+        # weights / depth / face_inv recomputed from the winner only when a
+        # mode needs them (texture sampling / depth output + K6/K7 grads);
+        # the alpha-only path needs just the index map.
+        weight_map, depth_map, face_inv_map = forward_xla.winner_attributes(
+            settings, faces, face_index_map,
+            need_face_inv=settings.return_depth)
+    else:
+        weight_map = jnp.zeros((1,), jnp.float32)
+        depth_map = depth_scan
+        face_inv_map = jnp.zeros((1,), jnp.float32)
 
     if settings.return_rgb:
         rgb_map = tex.sample_textures(

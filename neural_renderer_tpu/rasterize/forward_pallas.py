@@ -1,34 +1,45 @@
-"""Pallas TPU forward rasterizer: screen-tile binning + per-tile argmin-z.
+"""Pallas TPU forward rasterizer: screen-patch binning + per-patch argmin-z.
 
 The reference K3 kernel is O(pixels x ALL faces) per image
 (``rasterize.py:300-340``) — each CUDA thread loops every face, relying on
 early-out edge tests.  TPUs want the opposite shape: big regular vector work
 with no data-dependent branches.  This kernel restores the lost factor
-algorithmically instead:
+algorithmically:
 
-  1. **Bin (XLA):** project each face, cull backfaces, compute its pixel
-     bbox, and bin it to the 2-D grid of screen tiles it overlaps.  Per tile
-     we keep up to ``faces_per_tile_cap`` face ids in ascending order (ties
-     in the z-test then resolve to the lowest id — identical to the
-     reference's sequential first-wins rule) plus a count.
-  2. **Rasterize (Pallas):** grid = (batch, tile_y, tile_x, face_chunk).
-     Each program streams one 128-face chunk of its tile's packed face table
-     through VMEM, evaluates inside tests / barycentric weights /
-     perspective depth for all (pixel, face) pairs as VPU elementwise math,
-     and folds a running (min depth, first-argmin face id) into the tile's
-     resident output block — the flash-attention accumulation pattern.
-     Scalar-prefetched per-tile counts let wholly-empty chunks skip all
-     compute, so sparse tiles cost almost nothing.
+  1. **Bin (XLA):** project each face, cull backfaces, and mark the square
+     screen patches its pixel bbox overlaps — a dense range-compare
+     membership mask [bs, patches, faces] plus a prefix sum over the face
+     axis.  That's the ENTIRE device-side preprocessing: no sort, no top_k,
+     no scatter, no gather (all of which serialize badly on TPU — measured
+     300+ms for a gather-based variant of this pass).
 
-Tiles are ``tile_size`` rows x 128 columns — the native f32 (8, 128) vreg
-layout.  Per-pixel work drops from O(nf) to O(faces overlapping the tile).
-Weights / face_inv / textures are recomputed from the winner index by the
-shared XLA post-passes (forward_xla.winner_attributes), so this kernel
-carries minimum state.
+  2. **Rasterize (Pallas):** grid = (batch, patch_y, patch_x, face_chunk).
+     The membership prefix row and a transposed face-feature table live in
+     VMEM.  For chunk k the kernel builds a one-hot selector
+     ``onehot[f, j] = (prefix[f] == k*128 + j + 1) & member[f]`` with pure
+     compares and fetches the chunk's 128 faces' features as ONE MXU
+     contraction ``featT @ onehot`` (exact for f32: one-hot matmuls have a
+     single addend per output).  Inside tests / barycentric weights /
+     perspective depth for all (pixel, face) pairs are VPU elementwise math,
+     folded into the patch's resident (min depth, first-argmin face id)
+     output block — the flash-attention accumulation pattern.  Per-patch
+     counts (prefix[-1], scalar-prefetched) skip empty chunks entirely.
 
-Capacity: tiles overlapped by more than ``faces_per_tile_cap`` front faces
-lose the overflow (check with ``binning_overflow``; raise the cap or fall
-back to backend='xla' for pathological scenes).
+Patches are 32x32 *square* pixel regions packed into the native f32 (8, 128)
+vector layout (a 1024-pixel patch is one [8, 128] block; plain reshapes
+unpack it outside).  Square patches matter: an (8 x 128) image-space band
+overlaps ~10x more faces than a 32x32 square of equal area, and per-pixel
+work is proportional to faces-per-patch.
+
+Faces ascend within every patch list by construction, so z-test ties resolve
+to the lowest face id — identical to the reference's sequential first-wins
+rule (rasterize.py:334).  Weights / face_inv / textures are recomputed from
+the winner index by the shared XLA post-passes
+(forward_xla.winner_attributes), so this kernel carries minimum state.
+
+Capacity limit (check ``binning_overflow`` before trusting a config):
+patches overlapped by more than ``faces_per_tile_cap`` front faces lose the
+overflow (the pure-XLA backend has no capacity limits).
 """
 
 import functools
@@ -40,35 +51,38 @@ from jax.experimental.pallas import tpu as pltpu
 
 from neural_renderer_tpu.rasterize import geometry
 
-# packed face feature layout (sublane axis of the per-tile face table):
+# transposed face-feature table layout (sublane axis):
 # 0:x0 1:y0 2:x1 3:y1 4:x2 5:y2 (NDC xy), 6:z0 7:z1 8:z2,
-# 9..17: face_inv rows, 18..23: pad (sublane-aligned to 24)
+# 9..17: face_inv rows, 18: face id + 1 (0 = empty), 19..23: pad
 _NFEAT = 24
-_TILE_COLS = 128
-_CHUNK = 128
+_CHUNK = 128          # faces per streamed chunk (f32 lane width)
+_VMEM_TABLE_LIMIT = 8 * 1024 * 1024
 
 
-def _tile_dims(settings):
-    is_ = settings.image_size
-    tc = min(_TILE_COLS, is_)
-    tr = max(8, min(settings.tile_size, is_))
-    return tr, tc
+def _patch_dim(settings):
+    return min(32, settings.image_size)
 
 
 def supported(settings, faces):
     if jax.default_backend() != 'tpu':
         return False
-    tr, tc = _tile_dims(settings)
-    if settings.image_size % tr or settings.image_size % tc:
+    p = _patch_dim(settings)
+    if settings.image_size % p or (p * p) % _CHUNK:
         return False
+    nf_pad = -(-faces.shape[1] // _CHUNK) * _CHUNK
+    if nf_pad * _CHUNK * 4 > _VMEM_TABLE_LIMIT:   # lanes pad 24 -> 128
+        return False          # feature table must stay VMEM-resident
     return True
 
 
-def _overlap_mask(settings, faces):
-    """[bs, nf, Ty, Tx] bool: front face's conservative bbox hits tile."""
+def _face_tile_ranges(settings, faces):
+    """Per-face patch rectangle [ty0, ty1] x [tx0, tx1] (int32) + front mask.
+
+    Conservative pixel bbox (pixel centers sit at integer coords, +-1 pad).
+    """
     is_ = settings.image_size
-    tr, tc = _tile_dims(settings)
-    ty, tx = is_ // tr, is_ // tc
+    p = _patch_dim(settings)
+    nt = is_ // p
 
     front = geometry.is_frontface(faces)
     px = geometry.to_pixel_coords(faces[..., 0], is_)
@@ -78,89 +92,106 @@ def _overlap_mask(settings, faces):
     ymin = jnp.floor(py.min(-1)) - 1.0
     ymax = jnp.ceil(py.max(-1)) + 1.0
 
-    col_lo = jnp.arange(tx, dtype=jnp.float32) * tc
-    col_hi = col_lo + (tc - 1)
-    row_lo = jnp.arange(ty, dtype=jnp.float32) * tr
-    row_hi = row_lo + (tr - 1)
-    ox = ((xmin[..., None] <= col_hi) & (xmax[..., None] >= col_lo))
-    oy = ((ymin[..., None] <= row_hi) & (ymax[..., None] >= row_lo))
-    return (oy[:, :, :, None] & ox[:, :, None, :]
-            & front[:, :, None, None])
+    def rng(lo, hi):
+        t0 = jnp.clip(jnp.floor(lo / p), 0, nt - 1).astype(jnp.int32)
+        t1 = jnp.clip(jnp.floor(hi / p), 0, nt - 1).astype(jnp.int32)
+        empty = (hi < 0) | (lo > is_ - 1)
+        t1 = jnp.where(empty, t0 - 1, t1)
+        return t0, t1
+
+    ty0, ty1 = rng(ymin, ymax)
+    tx0, tx1 = rng(xmin, xmax)
+    return front, ty0, ty1, tx0, tx1
 
 
-def _bin_faces(settings, faces):
-    """XLA binning pass.
-
-    Returns (fdata [bs,Ty,Tx,K,_NFEAT,CHUNK] f32,
-             ids [bs,Ty,Tx,K,1,CHUNK] i32 (-1 pad),
-             counts [bs,Ty,Tx] i32).
-    """
+def _membership_prefix(settings, faces):
+    """Dense membership prefix sums [bs, T, T, nf_pad] + counts [bs*T*T]."""
     bs, nf = faces.shape[:2]
     is_ = settings.image_size
-    tr, tc = _tile_dims(settings)
-    ty, tx = is_ // tr, is_ // tc
-    cap = min(settings.faces_per_tile_cap, nf)
-    cap_pad = -(-cap // _CHUNK) * _CHUNK                     # chunk multiple
-    k_chunks = cap_pad // _CHUNK
+    p = _patch_dim(settings)
+    t = is_ // p
+    nt = t * t
+    nf_pad = -(-nf // _CHUNK) * _CHUNK
 
-    overlap = _overlap_mask(settings, faces)
-    counts = overlap.sum(axis=1, dtype=jnp.int32)            # [bs, Ty, Tx]
-    counts = jnp.minimum(counts, cap)
+    front, ty0, ty1, tx0, tx1 = _face_tile_ranges(settings, faces)
+    t_y = (jnp.arange(nt, dtype=jnp.int32) // t)[None, :, None]
+    t_x = (jnp.arange(nt, dtype=jnp.int32) % t)[None, :, None]
+    mask = (front[:, None, :]
+            & (ty0[:, None, :] <= t_y) & (t_y <= ty1[:, None, :])
+            & (tx0[:, None, :] <= t_x) & (t_x <= tx1[:, None, :]))
+    prefix = jnp.cumsum(mask.astype(jnp.int32), axis=-1)
+    counts = prefix[..., -1]                                 # [bs, nt]
+    # "position or zero": 1-based list position where the face is a member,
+    # 0 elsewhere — the kernel matches it directly against chunk slots with
+    # no separate membership test (slot values start at 1).
+    pz = jnp.where(mask, prefix, 0)
+    pz = jnp.pad(pz, ((0, 0), (0, 0), (0, nf_pad - nf)))
+    return pz.reshape(bs, t, t, 1, nf_pad), counts.reshape(-1)
 
-    # per-tile ascending face ids via top_k on -fid (masked -> sentinel)
-    fid = jnp.arange(nf, dtype=jnp.int32)
-    score = jnp.where(overlap, -fid[None, :, None, None], -(nf + 1))
-    score = score.transpose(0, 2, 3, 1).reshape(bs, ty * tx, nf)
-    top, top_idx = jax.lax.top_k(score, cap)                 # descending
-    ids = jnp.where(top > -(nf + 1), top_idx.astype(jnp.int32), -1)
-    if cap_pad > cap:
-        ids = jnp.pad(ids, ((0, 0), (0, 0), (0, cap_pad - cap)),
-                      constant_values=-1)
-    cap = cap_pad
 
+def _feature_table(settings, faces):
+    """Transposed per-face features [bs, _NFEAT, nf_pad] (see layout above)."""
+    bs, nf = faces.shape[:2]
+    is_ = settings.image_size
+    nf_pad = -(-nf // _CHUNK) * _CHUNK
     finv = geometry.face_inv_matrix(
         geometry.to_pixel_coords(faces[..., 0], is_),
         geometry.to_pixel_coords(faces[..., 1], is_))
+    fid1 = (jnp.arange(nf, dtype=jnp.float32) + 1.0)[None, :, None]
     feat = jnp.concatenate([
         faces[..., 0, 0:2], faces[..., 1, 0:2], faces[..., 2, 0:2],
         faces[..., :, 2],                                    # z0 z1 z2
         finv.reshape(bs, nf, 9),
-        jnp.zeros((bs, nf, _NFEAT - 18), jnp.float32),
+        jnp.broadcast_to(fid1, (bs, nf, 1)),
+        jnp.zeros((bs, nf, _NFEAT - 19), jnp.float32),
     ], axis=-1)                                              # [bs, nf, 24]
-
-    safe = jnp.clip(ids.reshape(bs, ty * tx * cap), 0, nf - 1)
-    fdata = jnp.take_along_axis(feat, safe[..., None], axis=1)
-    fdata = (fdata.reshape(bs, ty, tx, k_chunks, _CHUNK, _NFEAT)
-             .transpose(0, 1, 2, 3, 5, 4))
-    ids = ids.reshape(bs, ty, tx, k_chunks, 1, _CHUNK)
-    return fdata, ids, counts
+    # faces on sublanes, features on lanes: the kernel contracts the face
+    # axis directly (dot_general ((0,), (1,))), no transposes anywhere.
+    return jnp.pad(feat, ((0, 0), (0, nf_pad - nf), (0, 0)))
 
 
-def _tile_kernel(settings, tr, tc, counts_ref, fdata_ref, ids_ref,
-                 depth_ref, idx_ref):
+def _tile_kernel(settings, p, rows, nf_pad, counts_ref, featT_ref,
+                 prefix_ref, depth_ref, idx_ref):
     is_ = settings.image_size
     b = pl.program_id(0)
     iy = pl.program_id(1)
     ix = pl.program_id(2)
     k = pl.program_id(3)
     nk = pl.num_programs(3)
+    ny = pl.num_programs(1)
+    nx = pl.num_programs(2)
 
     @pl.when(k == 0)
     def _init():
-        depth_ref[0] = jnp.full((tr, tc), jnp.inf, jnp.float32)
-        idx_ref[0] = jnp.full((tr, tc), -1, jnp.int32)
+        depth_ref[0, 0, 0] = jnp.full((rows, _CHUNK), jnp.inf, jnp.float32)
+        idx_ref[0, 0, 0] = jnp.full((rows, _CHUNK), -1, jnp.int32)
 
-    count = counts_ref[b, iy, ix]
+    count = counts_ref[(b * ny + iy) * nx + ix]
 
     @pl.when(k * _CHUNK < count)
     def _compute():
-        f = fdata_ref[0, 0, 0, 0]        # [_NFEAT, _CHUNK]
-        ids = ids_ref[0, 0, 0, 0, 0]     # [_CHUNK] int32
+        pz = prefix_ref[0, 0, 0]         # [1, nf_pad] int32
 
-        ry = jax.lax.broadcasted_iota(jnp.int32, (tr, tc, 1), 0)
-        rx = jax.lax.broadcasted_iota(jnp.int32, (tr, tc, 1), 1)
-        yi = (ry + iy * tr).astype(jnp.float32)
-        xi = (rx + ix * tc).astype(jnp.float32)
+        # one-hot chunk selector: row s holds the face whose (1-based) list
+        # position is k*128 + s + 1 (pz is 0 for non-members: never matches)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, nf_pad), 0)
+        onehot = (pz == (k * _CHUNK + 1 + slot)).astype(jnp.float32)
+
+        # fetch the chunk's face features with one exact MXU contraction:
+        # contract the face axis of feat [nf_pad, 24] against onehot
+        # [slots, nf_pad] -> [24 features, 128 slots]
+        f = jax.lax.dot_general(
+            featT_ref[0], onehot, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)             # [24, _CHUNK]
+
+        # packed pixel coords: flat pixel = sub*_CHUNK + lane maps to the
+        # patch's (flat // p, flat % p) local (y, x)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (rows, _CHUNK, 1), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _CHUNK, 1), 1)
+        flat = sub * _CHUNK + lane
+        yi = (flat // p + iy * p).astype(jnp.float32)
+        xi = (flat % p + ix * p).astype(jnp.float32)
         yp = (2.0 * yi + 1.0 - is_) / is_
         xp = (2.0 * xi + 1.0 - is_) / is_
 
@@ -169,6 +200,7 @@ def _tile_kernel(settings, tr, tc, counts_ref, fdata_ref, ids_ref,
 
         x0, y0, x1, y1, x2, y2 = (row(j) for j in range(6))
         z0, z1, z2 = row(6), row(7), row(8)
+        idf = row(18)                           # face id + 1; 0 = empty
 
         # inside tests (rasterize.py:310-312, operand order preserved)
         outside = (
@@ -185,70 +217,90 @@ def _tile_kernel(settings, tr, tc, counts_ref, fdata_ref, ids_ref,
 
         valid = (jnp.logical_not(outside)
                  & (zp > settings.near) & (zp < settings.far)
-                 & (ids[None, None, :] >= 0))
+                 & (idf > 0))
         zbuf = jnp.where(valid, zp, jnp.inf)
 
         cmin = jnp.min(zbuf, axis=-1)
         karg = jnp.argmin(zbuf, axis=-1)
         # winner's global face id via one-hot reduce
-        lane = jax.lax.broadcasted_iota(jnp.int32, (tr, tc, _CHUNK), 2)
-        onehot = lane == karg[..., None]
-        win = jnp.sum(jnp.where(onehot, ids[None, None, :], 0), axis=-1)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, (rows, _CHUNK, _CHUNK), 2)
+        sel = lane2 == karg[..., None]
+        ids_i = idf[0, 0].astype(jnp.int32) - 1              # [_CHUNK]
+        win = jnp.sum(jnp.where(sel, ids_i[None, None, :], 0), axis=-1)
 
-        # merge with the running tile state (strict < keeps the earlier
+        # merge with the running patch state (strict < keeps the earlier
         # chunk's — i.e. lower face id's — win on ties, like the
         # reference's sequential z test, rasterize.py:334)
-        prev_d = depth_ref[0]
-        prev_i = idx_ref[0]
+        prev_d = depth_ref[0, 0, 0]
+        prev_i = idx_ref[0, 0, 0]
         better = cmin < prev_d
-        depth_ref[0] = jnp.where(better, cmin, prev_d)
-        idx_ref[0] = jnp.where(better, win, prev_i)
+        depth_ref[0, 0, 0] = jnp.where(better, cmin, prev_d)
+        idx_ref[0, 0, 0] = jnp.where(better, win, prev_i)
 
     @pl.when(k == nk - 1)
     def _finalize():
-        d = depth_ref[0]
+        d = depth_ref[0, 0, 0]
         covered = jnp.isfinite(d)
-        depth_ref[0] = jnp.where(covered, d, settings.far)
+        depth_ref[0, 0, 0] = jnp.where(covered, d, settings.far)
 
 
 def forward_face_index_map(settings, faces, interpret=False):
-    """Tile-binned Pallas forward -> (face_index_map int32, depth f32)."""
+    """Patch-binned Pallas forward -> (face_index_map int32, depth f32)."""
     bs, nf = faces.shape[:2]
     is_ = settings.image_size
-    tr, tc = _tile_dims(settings)
-    ty, tx = is_ // tr, is_ // tc
+    p = _patch_dim(settings)
+    t = is_ // p
+    nt = t * t
+    rows = (p * p) // _CHUNK
+    nf_pad = -(-nf // _CHUNK) * _CHUNK
+    if settings.faces_per_tile_cap is None:
+        cap = min(nf, max(512, (nf * 16) // nt))             # auto density
+    else:
+        cap = min(settings.faces_per_tile_cap, nf)
+    k_chunks = -(-cap // _CHUNK)
 
-    fdata, ids, counts = _bin_faces(settings, faces)
-    k_chunks = fdata.shape[3]
+    prefix, counts = _membership_prefix(settings, faces)
+    counts = jnp.minimum(counts, k_chunks * _CHUNK)
+    featT = _feature_table(settings, faces)
 
-    kernel = functools.partial(_tile_kernel, settings, tr, tc)
+    kernel = functools.partial(_tile_kernel, settings, p, rows, nf_pad)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(bs, ty, tx, k_chunks),
+        grid=(bs, t, t, k_chunks),
         in_specs=[
-            pl.BlockSpec((1, 1, 1, 1, _NFEAT, _CHUNK),
-                         lambda b, i, j, k, counts: (b, i, j, k, 0, 0)),
-            pl.BlockSpec((1, 1, 1, 1, 1, _CHUNK),
-                         lambda b, i, j, k, counts: (b, i, j, k, 0, 0)),
+            pl.BlockSpec((1, nf_pad, _NFEAT),
+                         lambda b, i, j, k, counts: (b, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 1, nf_pad),
+                         lambda b, i, j, k, counts: (b, i, j, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, tr, tc), lambda b, i, j, k, counts: (b, i, j)),
-            pl.BlockSpec((1, tr, tc), lambda b, i, j, k, counts: (b, i, j)),
+            pl.BlockSpec((1, 1, 1, rows, _CHUNK),
+                         lambda b, i, j, k, counts: (b, i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, rows, _CHUNK),
+                         lambda b, i, j, k, counts: (b, i, j, 0, 0)),
         ],
     )
-    depth, idx = pl.pallas_call(
+    depth_p, idx_p = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((bs, is_, is_), jnp.float32),
-            jax.ShapeDtypeStruct((bs, is_, is_), jnp.int32),
+            jax.ShapeDtypeStruct((bs, t, t, rows, _CHUNK), jnp.float32),
+            jax.ShapeDtypeStruct((bs, t, t, rows, _CHUNK), jnp.int32),
         ],
         interpret=interpret,
-    )(counts, fdata, ids)
-    return idx, depth
+    )(counts, featT, prefix)
+
+    def unpack(x):
+        # [bs, t, t, rows, 128] -> [bs, t, t, p, p] -> [bs, is, is]
+        return (x.reshape(bs, t, t, p, p).transpose(0, 1, 3, 2, 4)
+                .reshape(bs, is_, is_))
+
+    return unpack(idx_p), unpack(depth_p)
 
 
 def binning_overflow(settings, faces):
-    """Max (over tiles) number of front faces binned per tile, to validate
-    ``faces_per_tile_cap`` before trusting the pallas backend on a scene."""
-    return _overlap_mask(settings, faces).sum(axis=1).max()
+    """Max (over patches) number of front faces binned per patch — validate
+    ``faces_per_tile_cap`` before trusting this backend on a scene.  The xla
+    backend has no capacity limits."""
+    _, counts = _membership_prefix(settings, faces)
+    return counts.max()

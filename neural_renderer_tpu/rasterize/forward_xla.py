@@ -128,7 +128,7 @@ def forward_face_index_map(settings, faces):
     return idx, depth
 
 
-def winner_attributes(settings, faces, face_index_map):
+def winner_attributes(settings, faces, face_index_map, need_face_inv=True):
     """Recompute per-pixel weights / depth / face_inv from the winning face.
 
     Instead of carrying weight_map / face_inv_map through the z-reduction
@@ -157,5 +157,8 @@ def winner_attributes(settings, faces, face_index_map):
 
     weight_map = jnp.where(covered[..., None], w, 0.0)
     depth_map = jnp.where(covered, zp, settings.far)
-    face_inv_map = jnp.where(covered[..., None, None], finv, 0.0)
+    if need_face_inv:
+        face_inv_map = jnp.where(covered[..., None, None], finv, 0.0)
+    else:
+        face_inv_map = jnp.zeros((1,), jnp.float32)
     return weight_map, depth_map, face_inv_map
