@@ -145,37 +145,54 @@ def load_textures(filename_obj, filename_mtl, texture_size):
 
 
 def load_obj(filename_obj, normalization=True, texture_size=4,
-             load_texture=False):
+             load_texture=False, use_native=True):
     """Load a Wavefront .obj (reference load_obj.py:146-197).
 
     Supports ``v`` and ``f`` lines (+ ``vt``/``mtllib`` when load_texture).
     Returns (vertices [nv,3] f32, faces [nf,3] i32[, textures]).
+
+    The v/f hot path uses the native C++ parser (csrc/fast_obj.cpp) when the
+    toolchain is available; both parsers resolve negative OBJ indices to
+    proper relative indexing (the reference's blanket ``- 1`` at
+    load_obj.py:175 mis-resolves negatives by one — deliberate fix).
     """
-    with open(filename_obj) as f:
-        lines = f.readlines()
+    parsed = None
+    if use_native:
+        from neural_renderer_tpu.io import native
+        parsed = native.parse_obj(filename_obj)
 
-    vertices = []
-    for line in lines:
-        parts = line.split()
-        if parts and parts[0] == 'v':
-            vertices.append([float(v) for v in parts[1:4]])
-    vertices = np.vstack(vertices).astype(np.float32)
+    if parsed is not None:
+        vertices, faces = parsed
+    else:
+        with open(filename_obj) as f:
+            lines = f.readlines()
 
-    faces = []
-    for line in lines:
-        parts = line.split()
-        if parts and parts[0] == 'f':
-            vs = parts[1:]
-            nv = len(vs)
-            v0 = int(vs[0].split('/')[0])
-            for i in range(nv - 2):
-                v1 = int(vs[i + 1].split('/')[0])
-                v2 = int(vs[i + 2].split('/')[0])
-                faces.append((v0, v1, v2))
-    faces = np.vstack(faces).astype(np.int32) - 1
+        vertices = []
+        for line in lines:
+            parts = line.split()
+            if parts and parts[0] == 'v':
+                vertices.append([float(v) for v in parts[1:4]])
+        vertices = np.vstack(vertices).astype(np.float32)
+
+        faces = []
+        for line in lines:
+            parts = line.split()
+            if parts and parts[0] == 'f':
+                vs = parts[1:]
+                nv = len(vs)
+                v0 = int(vs[0].split('/')[0])
+                for i in range(nv - 2):
+                    v1 = int(vs[i + 1].split('/')[0])
+                    v2 = int(vs[i + 2].split('/')[0])
+                    faces.append((v0, v1, v2))
+        faces = np.vstack(faces).astype(np.int32)
+        faces = np.where(faces > 0, faces - 1,
+                         vertices.shape[0] + faces).astype(np.int32)
 
     textures = None
     if load_texture:
+        with open(filename_obj) as f:
+            lines = f.readlines()
         for line in lines:
             if line.startswith('mtllib'):
                 filename_mtl = os.path.join(

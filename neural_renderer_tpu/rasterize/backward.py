@@ -127,17 +127,29 @@ def _dist_contrib(settings, diff_grad, delta, X0, X1, d0):
 
 
 def _map_gather(m, row, col):
-    """m: [bs, is, is(, c)]; row/col: [bs, ...] int32 -> gathered values."""
-    is_ = m.shape[1]
-    flat = m.reshape(m.shape[0], is_ * is_, *m.shape[3:])
-    idx = row * is_ + col
-    return jax.vmap(lambda mm, ii: mm[ii])(flat, idx)
+    """m: [bs, is, is(, c)]; row/col: [bs, ...] int32 -> gathered values.
+
+    Formulated as take_along_axis over the flattened pixel axis — XLA lowers
+    this to a fast vectorized gather, whereas vmap'd integer indexing picks
+    a scalar-loop lowering (~100x slower, measured).
+    """
+    bs, is_ = m.shape[0], m.shape[1]
+    flat = m.reshape(bs, is_ * is_, *m.shape[3:])
+    idx = (row * is_ + col).reshape(bs, -1)
+    if flat.ndim == 3:
+        out = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        return out.reshape(row.shape + m.shape[3:])
+    out = jnp.take_along_axis(flat, idx, axis=1)
+    return out.reshape(row.shape)
 
 
-def grad_faces_pixel_map(settings, faces, face_index_map, rgb_map, alpha_map,
-                         grad_rgb_map, grad_alpha_map):
+def grad_faces_pixel_map(settings, faces, face_index_map, face_w, rgb_map,
+                         alpha_map, grad_rgb_map, grad_alpha_map):
     """K5: approximate d(loss)/d(faces x,y) from rgb/alpha map gradients.
 
+    face_w: each pixel's own face rows (forward residual — covered pixels
+    always hold front faces, so the reference's backface return at
+    rasterize.py:540 is implicit).
     Returns grad_faces ``[bs, nf, 3, 3]`` (z rows zero).
     """
     bs, nf = faces.shape[:2]
@@ -145,11 +157,6 @@ def grad_faces_pixel_map(settings, faces, face_index_map, rgb_map, alpha_map,
     covered = face_index_map >= 0
     fidx = jnp.clip(face_index_map, 0, nf - 1)
 
-    # Each pixel's own face (covered pixels always hold front faces, so the
-    # reference's backface return at rasterize.py:540 is implicit).
-    face_w = jnp.take_along_axis(
-        faces.reshape(bs, nf, 9), fidx.reshape(bs, -1, 1), axis=1
-    ).reshape(bs, is_, is_, 3, 3)
     ppx = geometry.to_pixel_coords(face_w[..., 0], is_)   # [bs, is, is, 3]
     ppy = geometry.to_pixel_coords(face_w[..., 1], is_)
 
@@ -165,6 +172,7 @@ def grad_faces_pixel_map(settings, faces, face_index_map, rgb_map, alpha_map,
 
     grad = jnp.zeros((bs * nf, 3, 3), jnp.float32)
     act_out_masks = {}
+    contribs = []          # per (e, a): (c0, c1) maps, reduced in ONE pass
 
     for e, a in _EA:
         X, Y = _edge_coords(ppx, ppy, e, a)
@@ -178,18 +186,19 @@ def grad_faces_pixel_map(settings, faces, face_index_map, rgb_map, alpha_map,
         hi2 = jnp.minimum(jnp.maximum(cr['d1_in'], lim), is_ - 1.0)
         act_in = covered & cr['valid'] & (d1 >= lo2) & (d1 <= hi2)
 
-        # out-pixel reference values (rasterize.py:688-695)
+        # out-pixel reference values (rasterize.py:688-695); only the
+        # channels the mode uses are gathered (gathers are the expensive op)
         out_d1 = jnp.clip(cr['d1_out'], 0, is_ - 1).astype(jnp.int32)
         d0_i = d0.astype(jnp.int32)
         row_o = out_d1 if a == 0 else d0_i
         col_o = d0_i if a == 0 else out_d1
-        a_out = _map_gather(alpha_map, row_o, col_o)
-        rgb_out = _map_gather(rgb_map, row_o, col_o)
 
         dg = jnp.zeros_like(d0)
         if settings.return_alpha:
+            a_out = _map_gather(alpha_map, row_o, col_o)
             dg = dg + (alpha_map - a_out) * grad_alpha_map
         if settings.return_rgb:
+            rgb_out = _map_gather(rgb_map, row_o, col_o)
             dg = dg + jnp.sum((rgb_map - rgb_out) * grad_rgb_map, axis=-1)
         delta = d1 - cr['d1_cross']
         c0, c1 = _dist_contrib(settings, dg, delta, X[0], X[1], d0)
@@ -207,12 +216,20 @@ def grad_faces_pixel_map(settings, faces, face_index_map, rgb_map, alpha_map,
         else:
             act_out_masks[(e, a)] = act_out
 
-        s0 = jax.ops.segment_sum(c0.reshape(-1), seg_flat,
-                                 num_segments=bs * nf + 1)[:-1]
-        s1 = jax.ops.segment_sum(c1.reshape(-1), seg_flat,
-                                 num_segments=bs * nf + 1)[:-1]
-        grad = grad.at[:, e, 1 - a].add(s0)
-        grad = grad.at[:, (e + 1) % 3, 1 - a].add(s1)
+        contribs.append((c0, c1))
+
+    # ONE combined segment reduction for all 12 contribution channels
+    # (scatter-adds cost ~80ms each at 512^2/bs32 — index handling, not
+    # bandwidth — so batching channels into rows is a ~10x win).  The
+    # barrier also keeps the per-pixel producers out of the scatter fusion,
+    # whose fused producers lower to scalar loops.
+    stacked = jnp.stack([c for pair in contribs for c in pair], axis=-1)
+    stacked = jax.lax.optimization_barrier(stacked)
+    sums = jax.ops.segment_sum(stacked.reshape(-1, 12), seg_flat,
+                               num_segments=bs * nf + 1)[:-1]
+    for ch, (e, a) in enumerate(_EA):
+        grad = grad.at[:, e, 1 - a].add(sums[:, 2 * ch])
+        grad = grad.at[:, (e + 1) % 3, 1 - a].add(sums[:, 2 * ch + 1])
 
     if settings.grad_out_cap is not None:
         for a in (0, 1):
@@ -474,7 +491,7 @@ def _take_rows(m, ridx):
     return jax.vmap(lambda mm, ii: mm[ii])(m, ridx)
 
 
-def grad_faces_depth(settings, faces, face_index_map, face_inv_map,
+def grad_faces_depth(settings, faces, face_index_map, face_w, face_inv_map,
                      weight_map, depth_map, grad_depth_map):
     """K7: analytic depth gradient (rasterize.py:794-847).
 
@@ -484,13 +501,11 @@ def grad_faces_depth(settings, faces, face_index_map, face_inv_map,
     Scatter-add per pixel into its face — segment_sum, no atomics.
     """
     bs, nf = faces.shape[:2]
-    is_ = settings.image_size
     covered = face_index_map >= 0
     fidx = jnp.clip(face_index_map, 0, nf - 1)
+    is_ = settings.image_size
 
-    z = jnp.take_along_axis(
-        faces[..., 2].reshape(bs, nf, 3), fidx.reshape(bs, -1, 1), axis=1
-    ).reshape(bs, is_, is_, 3)
+    z = face_w[..., 2]                  # winner vertex depths [bs,is,is,3]
 
     d2 = depth_map * depth_map
     g = grad_depth_map
@@ -506,6 +521,7 @@ def grad_faces_depth(settings, faces, face_index_map, face_inv_map,
     seg = jnp.where(covered,
                     jnp.arange(bs, dtype=jnp.int32)[:, None, None] * nf + fidx,
                     bs * nf)
+    contrib = jax.lax.optimization_barrier(contrib)   # scalar-fusion guard
     flat = jax.ops.segment_sum(contrib.reshape(-1, 9), seg.reshape(-1),
                                num_segments=bs * nf + 1)[:-1]
     return flat.reshape(bs, nf, 3, 3)

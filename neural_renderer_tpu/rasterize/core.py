@@ -52,12 +52,16 @@ def _forward_all(settings, faces, textures):
     """
     face_index_map, depth_scan = _select_forward(settings, faces)
     covered = face_index_map >= 0
+    # ONE per-pixel gather of the winner's vertex rows, shared by the
+    # winner-attribute recompute, texture sampling, and (via residuals) the
+    # whole backward — per-pixel gathers are the expensive op on TPU.
+    face_w = forward_xla.gather_face_rows(faces, face_index_map)
     if settings.return_rgb or settings.return_depth:
         # weights / depth / face_inv recomputed from the winner only when a
         # mode needs them (texture sampling / depth output + K6/K7 grads);
         # the alpha-only path needs just the index map.
         weight_map, depth_map, face_inv_map = forward_xla.winner_attributes(
-            settings, faces, face_index_map,
+            settings, faces, face_index_map, face_w,
             need_face_inv=settings.return_depth)
     else:
         weight_map = jnp.zeros((1,), jnp.float32)
@@ -66,7 +70,8 @@ def _forward_all(settings, faces, textures):
 
     if settings.return_rgb:
         rgb_map = tex.sample_textures(
-            settings, faces, textures, face_index_map, weight_map, depth_map)
+            settings, faces, textures, face_index_map, face_w, weight_map,
+            depth_map)
         # background composite (rasterize.py:451-465); part of the forward —
         # the backward reads the *composited* rgb map, like the reference.
         bg = jnp.asarray(settings.background_color, jnp.float32)
@@ -79,7 +84,7 @@ def _forward_all(settings, faces, textures):
 
     alpha_map = covered.astype(jnp.float32)
 
-    res = dict(faces=faces, textures=textures,
+    res = dict(faces=faces, textures=textures, face_w=face_w,
                face_index_map=face_index_map, weight_map=weight_map,
                depth_map=depth_map, face_inv_map=face_inv_map,
                rgb_map=rgb_map, alpha_map=alpha_map)
@@ -121,17 +126,19 @@ def _bwd(settings, res, cotangents):
     grad_faces = jnp.zeros_like(faces)
     if settings.return_rgb or settings.return_alpha:
         grad_faces = grad_faces + bwd.grad_faces_pixel_map(
-            settings, faces, res['face_index_map'], res['rgb_map'],
-            res['alpha_map'], g_rgb_map, g_alpha_map)
+            settings, faces, res['face_index_map'], res['face_w'],
+            res['rgb_map'], res['alpha_map'], g_rgb_map, g_alpha_map)
     if settings.return_depth:
         grad_faces = grad_faces + bwd.grad_faces_depth(
-            settings, faces, res['face_index_map'], res['face_inv_map'],
-            res['weight_map'], res['depth_map'], g_depth_map)
+            settings, faces, res['face_index_map'], res['face_w'],
+            res['face_inv_map'], res['weight_map'], res['depth_map'],
+            g_depth_map)
 
     if settings.return_rgb:
         grad_textures = tex.grad_textures(
-            settings, faces, res['face_index_map'], res['weight_map'],
-            res['depth_map'], g_rgb_map, res['textures'].shape)
+            settings, faces, res['face_index_map'], res['face_w'],
+            res['weight_map'], res['depth_map'], g_rgb_map,
+            res['textures'].shape)
     else:
         grad_textures = jnp.zeros_like(res['textures'])
 

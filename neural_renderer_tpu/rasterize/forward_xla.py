@@ -128,23 +128,36 @@ def forward_face_index_map(settings, faces):
     return idx, depth
 
 
-def winner_attributes(settings, faces, face_index_map, need_face_inv=True):
+def gather_face_rows(faces, face_index_map):
+    """ONE per-pixel row gather of the winner's 9 vertex coords.
+
+    Per-pixel random gathers cost ~40ns/index on TPU regardless of row
+    width, so every consumer (winner attributes, texture z, K5/K7 backward)
+    shares this single gather via the residuals instead of re-gathering.
+    Returns face_w [bs, is, is, 3, 3] (garbage rows where uncovered — every
+    consumer masks on face_index_map >= 0).
+    """
+    bs, nf = faces.shape[:2]
+    is_ = face_index_map.shape[1]
+    fidx = jnp.clip(face_index_map, 0, nf - 1)
+    return jnp.take_along_axis(
+        faces.reshape(bs, nf, 9), fidx.reshape(bs, -1, 1), axis=1
+    ).reshape(bs, is_, is_, 3, 3)
+
+
+def winner_attributes(settings, faces, face_index_map, face_w,
+                      need_face_inv=True):
     """Recompute per-pixel weights / depth / face_inv from the winning face.
 
     Instead of carrying weight_map / face_inv_map through the z-reduction
     (the reference writes them under its pixel lock, rasterize.py:343-348),
-    we gather the winner's vertices and recompute — bit-identical math, far
-    less carried state.  Returns (weight_map [bs,is,is,3], depth [bs,is,is],
+    we recompute from the winner's gathered vertices (face_w from
+    gather_face_rows) — bit-identical math, far less carried state.
+    Returns (weight_map [bs,is,is,3], depth [bs,is,is],
     face_inv_map [bs,is,is,3,3]); zeros / ``far`` where uncovered.
     """
-    bs, nf = faces.shape[:2]
     is_ = settings.image_size
     covered = face_index_map >= 0
-    fidx = jnp.clip(face_index_map, 0, nf - 1)
-
-    face_w = jnp.take_along_axis(
-        faces.reshape(bs, nf, 9), fidx.reshape(bs, -1, 1), axis=1
-    ).reshape(bs, is_, is_, 3, 3)
 
     px = geometry.to_pixel_coords(face_w[..., 0], is_)
     py = geometry.to_pixel_coords(face_w[..., 1], is_)

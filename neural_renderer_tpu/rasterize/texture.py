@@ -8,6 +8,10 @@ atomicAdd).  On TPU we *recompute* the corners in the backward from the saved
 maps (cheap, saves 16 floats/pixel of residual bandwidth) and replace the
 atomic scatter with a deterministic ``segment_sum``.
 
+TPU layout note: everything iterates the 8 corners in a Python loop over
+[bs, is, is] arrays — materializing [bs, is, is, 8] would put 8 on the minor
+axis and lane-pad it 16x (measured 12GB of padding at 512^2 batch 32).
+
 Deliberate fix vs the reference: K4 reads the winning face's vertex depths
 from batch 0 for every batch element (``rasterize.py:389`` indexes
 ``faces[face_index * 9]`` without the ``bn * nf`` offset — latent bug,
@@ -19,95 +23,136 @@ import jax
 import jax.numpy as jnp
 
 
-def _sampling_corners(settings, faces, face_index_map, weight_map, depth_map,
-                      texture_size):
-    """Compute the 8 trilinear corner (flat index, weight) pairs per pixel.
-
-    Returns (indices [bs,is,is,8] int32 into the ts^3 cube,
-             weights [bs,is,is,8] f32).  Matches rasterize.py:397-425.
-    """
-    bs, nf = faces.shape[:2]
-    is_ = settings.image_size
+def _texture_index_float(settings, face_w, weight_map, depth_map,
+                         texture_size):
+    """Perspective-corrected texture coords tif [bs,is,is,3]
+    (rasterize.py:398-404).  face_w: the winner's gathered vertex rows."""
     ts = texture_size
-    fidx = jnp.clip(face_index_map, 0, nf - 1)
-
-    # winning face's vertex depths z_k  [bs, is, is, 3]
-    z = jnp.take_along_axis(
-        faces[..., 2].reshape(bs, nf, 3), fidx.reshape(bs, -1, 1), axis=1
-    ).reshape(bs, is_, is_, 3)
-
-    # texture_index_float (rasterize.py:398-404)
+    z = face_w[..., 2]                  # winner's vertex depths [bs,is,is,3]
     tif = weight_map * (ts - 1) * (depth_map[..., None] / z)
     tif = jnp.maximum(tif, 0.0)
     tif = jnp.minimum(tif, ts - 1 - settings.eps)
+    return tif
 
-    lo = tif.astype(jnp.int32)          # trunc == floor for tif >= 0
+
+def _corner(tif, lo, pn, ts):
+    """(weight [bs,is,is], flat cube index [bs,is,is]) of corner pn."""
     frac = tif - lo.astype(jnp.float32)
-
-    idx_list, w_list = [], []
-    for pn in range(8):
-        w = jnp.ones_like(depth_map)
-        ii = []
-        for k in range(3):
-            if (pn >> k) % 2 == 0:
-                w = w * (1.0 - frac[..., k])
-                ii.append(lo[..., k])
-            else:
-                w = w * frac[..., k]
-                ii.append(lo[..., k] + 1)
-        isc = ii[0] * ts * ts + ii[1] * ts + ii[2]
-        idx_list.append(isc)
-        w_list.append(w)
-    return jnp.stack(idx_list, axis=-1), jnp.stack(w_list, axis=-1)
+    w = 1.0
+    ii = []
+    for k in range(3):
+        if (pn >> k) % 2 == 0:
+            w = w * (1.0 - frac[..., k])
+            ii.append(lo[..., k])
+        else:
+            w = w * frac[..., k]
+            ii.append(lo[..., k] + 1)
+    isc = ii[0] * ts * ts + ii[1] * ts + ii[2]
+    return w, isc
 
 
-def sample_textures(settings, faces, textures, face_index_map, weight_map,
-                    depth_map):
+def sample_textures(settings, faces, textures, face_index_map, face_w,
+                    weight_map, depth_map):
     """Forward texture sampling (K4): returns rgb_map [bs, is, is, 3].
 
     Uncovered pixels are 0 (the background composite happens in core).
+    For small cubes (ts^3*3 <= 32 floats, i.e. the common ts=2) the winner's
+    WHOLE cube is fetched in one row gather and blended elementwise —
+    per-pixel gathers are index-bound (~40ns each), so one 24-float row
+    costs the same as one corner and replaces 8 gathers.
     """
     bs, nf, ts = textures.shape[0], textures.shape[1], textures.shape[2]
     is_ = settings.image_size
     covered = face_index_map >= 0
     fidx = jnp.clip(face_index_map, 0, nf - 1)
 
-    corner_idx, corner_w = _sampling_corners(
-        settings, faces, face_index_map, weight_map, depth_map, ts)
+    tif = _texture_index_float(settings, face_w, weight_map, depth_map, ts)
+    lo = tif.astype(jnp.int32)          # trunc == floor for tif >= 0
 
-    tex_flat = textures.reshape(bs, nf * ts * ts * ts, 3)
-    gidx = (fidx[..., None] * (ts * ts * ts) + corner_idx)      # [bs,is,is,8]
-    texel = jnp.take_along_axis(
-        tex_flat[:, :, None, :], gidx.reshape(bs, -1)[..., None, None], axis=1
-    ).reshape(bs, is_, is_, 8, 3)
-    rgb = jnp.sum(corner_w[..., None] * texel, axis=-2)
+    n_cells = ts * ts * ts
+    if n_cells * 3 <= 32:
+        # fetch the winner's full cube once: [bs, is, is, ts^3, 3]
+        cube = jnp.take_along_axis(
+            textures.reshape(bs, nf, n_cells * 3),
+            fidx.reshape(bs, -1, 1), axis=1
+        ).reshape(bs, is_, is_, n_cells, 3)
+        rgb = jnp.zeros((bs, is_, is_, 3), jnp.float32)
+        for pn in range(8):
+            w, isc = _corner(tif, lo, pn, ts)
+            if ts == 2:
+                # lo == 0 always (tif < 1), so isc is static per pn
+                isc_static = ((pn & 1) * ts * ts + ((pn >> 1) & 1) * ts
+                              + ((pn >> 2) & 1))
+                texel = cube[..., isc_static, :]
+            else:
+                texel = jnp.take_along_axis(
+                    cube, isc[..., None, None], axis=3)[..., 0, :]
+            rgb = rgb + w[..., None] * texel
+        return jnp.where(covered[..., None], rgb, 0.0)
+
+    tex_flat = textures.reshape(bs, nf * n_cells, 3)
+    rgb = jnp.zeros((bs, is_, is_, 3), jnp.float32)
+    for pn in range(8):
+        w, isc = _corner(tif, lo, pn, ts)
+        gidx = (fidx * n_cells + isc).reshape(bs, -1)
+        texel = jnp.take_along_axis(
+            tex_flat, gidx[..., None], axis=1).reshape(bs, is_, is_, 3)
+        rgb = rgb + w[..., None] * texel
     return jnp.where(covered[..., None], rgb, 0.0)
 
 
-def grad_textures(settings, faces, face_index_map, weight_map, depth_map,
-                  grad_rgb_map, texture_shape):
+def grad_textures(settings, faces, face_index_map, face_w, weight_map,
+                  depth_map, grad_rgb_map, texture_shape):
     """Backward texture gradient (K6, rasterize.py:750-792).
 
     ``grad_texture[b, f, isc] += w_pn * grad_rgb[pixel]`` for the 8 corners
     of every covered pixel — a deterministic segment_sum replacing atomicAdd.
+    For ts=2 the 8 corners are the whole cube with static cell indices, so
+    the entire gradient is ONE segment reduction of 24-wide rows per face
+    (scatter cost on TPU is per-index, not per-byte).
     """
     bs, nf, ts = texture_shape[0], texture_shape[1], texture_shape[2]
     covered = face_index_map >= 0
     fidx = jnp.clip(face_index_map, 0, nf - 1)
+    n_cells = ts * ts * ts
 
-    corner_idx, corner_w = _sampling_corners(
-        settings, faces, face_index_map, weight_map, depth_map, ts)
+    tif = _texture_index_float(settings, face_w, weight_map, depth_map, ts)
+    lo = tif.astype(jnp.int32)
 
-    # flat segment id over (batch * face * cube-cell); masked pixels -> id 0
-    # with zero contribution.
-    seg = (fidx[..., None] * (ts * ts * ts) + corner_idx)       # per batch
-    seg = seg + (jnp.arange(bs, dtype=jnp.int32)
-                 * (nf * ts * ts * ts))[:, None, None, None]
-    seg = jnp.where(covered[..., None], seg, 0)
-    contrib = jnp.where(covered[..., None, None],
-                        corner_w[..., None] * grad_rgb_map[..., None, :], 0.0)
+    seg_face = jnp.where(
+        covered,
+        fidx + (jnp.arange(bs, dtype=jnp.int32) * nf)[:, None, None],
+        bs * nf)
 
-    flat = jax.ops.segment_sum(
-        contrib.reshape(-1, 3), seg.reshape(-1),
-        num_segments=bs * nf * ts * ts * ts)
+    if ts == 2:
+        rows = []
+        for isc_static in range(n_cells):
+            # invert the static pn <-> cell map: pn bits (b0,b1,b2) place the
+            # corner at cell b0*4 + b1*2 + b2
+            b0, b1, b2 = (isc_static >> 2) & 1, (isc_static >> 1) & 1, \
+                isc_static & 1
+            pn = b0 | (b1 << 1) | (b2 << 2)
+            w, _ = _corner(tif, lo, pn, ts)
+            rows.append(jnp.where(covered[..., None],
+                                  w[..., None] * grad_rgb_map, 0.0))
+        rows = jnp.concatenate(rows, axis=-1)                # [bs,is,is,24]
+        rows = jax.lax.optimization_barrier(rows)
+        flat = jax.ops.segment_sum(
+            rows.reshape(-1, n_cells * 3), seg_face.reshape(-1),
+            num_segments=bs * nf + 1)[:-1]
+        return flat.reshape(texture_shape)
+
+    boffs = (jnp.arange(bs, dtype=jnp.int32) * (nf * n_cells))[
+        :, None, None]
+    flat = jnp.zeros((bs * nf * n_cells, 3), jnp.float32)
+    for pn in range(8):
+        w, isc = _corner(tif, lo, pn, ts)
+        seg = fidx * n_cells + isc + boffs
+        seg = jnp.where(covered, seg, 0)
+        contrib = jnp.where(covered[..., None],
+                            w[..., None] * grad_rgb_map, 0.0)
+        contrib = jax.lax.optimization_barrier(contrib)  # scalar-fusion guard
+        flat = flat + jax.ops.segment_sum(
+            contrib.reshape(-1, 3), seg.reshape(-1),
+            num_segments=bs * nf * n_cells)
     return flat.reshape(texture_shape)
