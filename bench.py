@@ -55,11 +55,17 @@ def _validated_out_cap(renderer, vertices, faces, eye):
         lambda f: forward_pallas.forward_face_index_map(s, f))(fc)
     count = int(np.asarray(jax.jit(
         lambda f, i: backward.count_out_crossings(s, f, i))(fc, fim)))
+    row_count = int(np.asarray(jax.jit(
+        lambda f, i: backward.count_out_crossings(
+            s, f, i, per_row=True))(fc, fim)))
+    offset = int(np.asarray(jax.jit(
+        lambda f, i: backward.max_out_offset(s, f, i))(fc, fim)))
     overflow = int(np.asarray(jax.jit(
         lambda f: forward_pallas.binning_overflow(s, f))(fc)))
-    # cap with margin for other azimuths, rounded up
+    assert row_count <= 256, f'row crossings {row_count} exceed _ROW_CAP'
+    # total capacity with margin for other azimuths, rounded up
     cap = -(-int(count * 1.5) // 1024) * 1024
-    return cap, count, overflow
+    return cap, offset + 4, count, overflow
 
 
 def main():
@@ -79,12 +85,14 @@ def main():
 
     eye0 = jnp.asarray(nr.get_points_from_angles(
         np.float32(camera_distance), np.float32(elevation), np.float32(0)))
-    cap, count, overflow = _validated_out_cap(renderer, vertices, faces,
-                                              eye0)
-    renderer.perf_overrides = dict(grad_out_cap=cap)
+    cap, radius, count, overflow = _validated_out_cap(
+        renderer, vertices, faces, eye0)
+    renderer.perf_overrides = dict(grad_out_cap=cap,
+                                   grad_offset_radius=radius)
     import sys
     print(f'# bench setup: grad_out_cap={cap} (measured {count}), '
-          f'patch overflow={overflow}', file=sys.stderr)
+          f'offset radius={radius}, patch overflow={overflow}',
+          file=sys.stderr)
 
     azimuths = [float(a) for a in range(0, 360, 360 // max(N_ITERS, 1))]
 

@@ -24,10 +24,13 @@ from neural_renderer_tpu.rasterize.config import (
 from neural_renderer_tpu.rasterize.core import rasterize_core
 
 # API-compat shim for the reference's global unsafe/safe toggle
-# (rasterize.py:13-16, 1063-1065).  The TPU rasterizer is deterministic and
-# lock-free, so "unsafe" has nothing to offer; the flag is accepted and
-# ignored.
-USE_UNSAFE_IMPLEMENTATION = False
+# (rasterize.py:13-16, 1063-1065) including the NEURAL_RENDERER_UNSAFE env
+# var.  The TPU rasterizer is deterministic and lock-free, so "unsafe" has
+# nothing to offer; the flag is accepted and ignored.
+import os as _os
+
+USE_UNSAFE_IMPLEMENTATION = bool(
+    int(_os.environ.get('NEURAL_RENDERER_UNSAFE', '0') or 0))
 
 
 def use_unsafe_rasterizer(flag):

@@ -126,6 +126,74 @@ def _dist_contrib(settings, diff_grad, delta, X0, X1, d0):
     return c0, c1
 
 
+def _offset_select(m, delta, axis, radius):
+    """``m[b, .., i + delta, ..]`` along ``axis`` for |delta| <= radius.
+
+    A (2R+1)-way select over statically shifted copies — XLA fuses it into
+    sliding-window elementwise work (~ns/element) instead of the ~40ns/index
+    scalar gathers TPU would otherwise use.  Out-of-range deltas produce 0
+    (callers mask those pixels via crossing validity anyway).
+    """
+    delta = delta.astype(jnp.int32)
+    pads = [(0, 0)] * m.ndim
+    pads[axis] = (radius, radius)
+    padded = jnp.pad(m, pads)
+    out = jnp.zeros_like(m)
+    extra = (Ellipsis,) + (None,) * (m.ndim - 3)
+    for s in range(-radius, radius + 1):
+        start = [0] * m.ndim
+        start[axis] = s + radius
+        limit = list(m.shape)
+        limit[axis] = m.shape[axis] + s + radius
+        shifted = jax.lax.slice(padded, start, limit)
+        out = jnp.where((delta == s)[extra], shifted, out)
+    return out
+
+
+def _out_pixel_values(settings, m, a, d1_out, d1, d0):
+    """Value of the crossing's out-pixel for every pixel (q = (d1, d0) in
+    walk-frame): either a bounded shifted select (fast path) or an exact
+    per-pixel gather."""
+    is_ = settings.image_size
+    r = settings.grad_offset_radius
+    if r is not None:
+        delta = jnp.clip(d1_out - d1, -(r + 1), r + 1)
+        return _offset_select(m, delta, 1 if a == 0 else 2, r)
+    out_d1 = jnp.clip(d1_out, 0, is_ - 1).astype(jnp.int32)
+    d0_i = d0.astype(jnp.int32)
+    row_o = out_d1 if a == 0 else d0_i
+    col_o = d0_i if a == 0 else out_d1
+    return _map_gather(m, row_o, col_o)
+
+
+def max_out_offset(settings, faces, face_index_map):
+    """Max |d1_out - pixel| over valid crossings of covered pixels — the
+    minimum safe ``grad_offset_radius`` for this scene."""
+    bs, nf = faces.shape[:2]
+    is_ = settings.image_size
+    covered = face_index_map >= 0
+    fidx = jnp.clip(face_index_map, 0, nf - 1)
+    face_w = jnp.take_along_axis(
+        faces.reshape(bs, nf, 9), fidx.reshape(bs, -1, 1), axis=1
+    ).reshape(bs, is_, is_, 3, 3)
+    ppx = geometry.to_pixel_coords(face_w[..., 0], is_)
+    ppy = geometry.to_pixel_coords(face_w[..., 1], is_)
+    yi = jnp.broadcast_to(
+        jnp.arange(is_, dtype=jnp.float32)[None, :, None], (bs, is_, is_))
+    xi = jnp.broadcast_to(
+        jnp.arange(is_, dtype=jnp.float32)[None, None, :], (bs, is_, is_))
+    worst = 0.0
+    for e, a in _EA:
+        X, Y = _edge_coords(ppx, ppy, e, a)
+        d0 = xi if a == 0 else yi
+        d1 = yi if a == 0 else xi
+        cr = _crossing(settings, X, Y, a, d0)
+        off = jnp.where(covered & cr['valid'],
+                        jnp.abs(cr['d1_out'] - d1), 0.0)
+        worst = jnp.maximum(worst, off.max())
+    return worst
+
+
 def _map_gather(m, row, col):
     """m: [bs, is, is(, c)]; row/col: [bs, ...] int32 -> gathered values.
 
@@ -187,18 +255,15 @@ def grad_faces_pixel_map(settings, faces, face_index_map, face_w, rgb_map,
         act_in = covered & cr['valid'] & (d1 >= lo2) & (d1 <= hi2)
 
         # out-pixel reference values (rasterize.py:688-695); only the
-        # channels the mode uses are gathered (gathers are the expensive op)
-        out_d1 = jnp.clip(cr['d1_out'], 0, is_ - 1).astype(jnp.int32)
-        d0_i = d0.astype(jnp.int32)
-        row_o = out_d1 if a == 0 else d0_i
-        col_o = d0_i if a == 0 else out_d1
-
+        # channels the mode uses are fetched (fetches are the expensive op)
         dg = jnp.zeros_like(d0)
         if settings.return_alpha:
-            a_out = _map_gather(alpha_map, row_o, col_o)
+            a_out = _out_pixel_values(settings, alpha_map, a,
+                                      cr['d1_out'], d1, d0)
             dg = dg + (alpha_map - a_out) * grad_alpha_map
         if settings.return_rgb:
-            rgb_out = _map_gather(rgb_map, row_o, col_o)
+            rgb_out = _out_pixel_values(settings, rgb_map, a,
+                                        cr['d1_out'], d1, d0)
             dg = dg + jnp.sum((rgb_map - rgb_out) * grad_rgb_map, axis=-1)
         delta = d1 - cr['d1_cross']
         c0, c1 = _dist_contrib(settings, dg, delta, X[0], X[1], d0)
@@ -243,9 +308,11 @@ def grad_faces_pixel_map(settings, faces, face_index_map, face_w, rgb_map,
     return grad.reshape(bs, nf, 3, 3)
 
 
-def count_out_crossings(settings, faces, face_index_map):
-    """Max active out-sweep crossings per (batch element, axis) — validate
-    ``grad_out_cap`` before trusting a compacted backward on a scene."""
+def count_out_crossings(settings, faces, face_index_map, per_row=False):
+    """Max active out-sweep crossings per (batch element, axis) — or, with
+    ``per_row=True``, per image row (the capacity unit of the compacted
+    path: it needs ``grad_out_cap // image_size`` slots per row).  Validate
+    before trusting a compacted backward on a scene."""
     bs, nf = faces.shape[:2]
     is_ = settings.image_size
     covered = face_index_map >= 0
@@ -261,14 +328,15 @@ def count_out_crossings(settings, faces, face_index_map):
         jnp.arange(is_, dtype=jnp.float32)[None, None, :], (bs, is_, is_))
     best = 0
     for a in (0, 1):
-        total = jnp.zeros((bs,), jnp.int32)
+        total = 0
         for e in range(3):
             X, Y = _edge_coords(ppx, ppy, e, a)
             d0 = xi if a == 0 else yi
             d1 = yi if a == 0 else xi
             cr = _crossing(settings, X, Y, a, d0)
             act = covered & cr['valid'] & (cr['d1_in'] == d1)
-            total = total + act.sum(axis=(1, 2), dtype=jnp.int32)
+            total = total + act.sum(
+                axis=2 if per_row else (1, 2), dtype=jnp.int32)
         best = jnp.maximum(best, total.max())
     return best
 

@@ -52,6 +52,12 @@ class RasterizeSettings:
     grad_out_cap: Optional[int] = None
     # Backward: pixel-chunk size for the dense out-sweep scan.
     grad_pixel_chunk: int = 65536
+    # Backward (K5): when set, in-sweep out-pixel values are fetched with a
+    # fused (2R+1)-way shifted select instead of per-pixel random gathers
+    # (~40ns/index on TPU).  Exact iff every active crossing's out-pixel is
+    # within R rows/cols of its pixel — i.e. R >= max face pixel span;
+    # validate with `backward.max_out_offset`.  None = exact gathers.
+    grad_offset_radius: Optional[int] = None
 
     def validate(self):
         if not (self.return_rgb or self.return_alpha or self.return_depth):
