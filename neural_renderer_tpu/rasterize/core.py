@@ -26,7 +26,13 @@ _DUMMY = functools.partial(jnp.zeros, (1,), jnp.float32)
 
 
 def _select_forward(settings, faces):
-    """Pick the face-index-map backend (pallas on TPU when available)."""
+    """Pick the face-index-map backend (pallas on TPU when available).
+
+    With ``backend='auto'`` and no explicit ``faces_per_tile_cap``, the
+    binned kernel's capacity test runs at RUN time and overflowing scenes
+    fall back to the capacity-free XLA forward via ``lax.cond`` — auto is
+    never silently wrong (an explicit cap means the user opted into the
+    cap, and gets the runtime_checks warning instead)."""
     if settings.backend == 'xla':
         return forward_xla.forward_face_index_map(settings, faces)
     if settings.backend in ('pallas', 'auto'):
@@ -36,6 +42,20 @@ def _select_forward(settings, faces):
         except ImportError:
             ok = False
         if ok:
+            if (settings.backend == 'auto'
+                    and settings.faces_per_tile_cap is None):
+                prefix_counts = forward_pallas._membership_prefix(
+                    settings, faces)
+                capacity = forward_pallas.chunk_capacity(
+                    settings, faces.shape[1])
+                fits = prefix_counts[1].max() <= capacity
+                return jax.lax.cond(
+                    fits,
+                    lambda f, pc: forward_pallas.forward_face_index_map(
+                        settings, f, prefix_counts=pc),
+                    lambda f, pc: forward_xla.forward_face_index_map(
+                        settings, f),
+                    faces, prefix_counts)
             return forward_pallas.forward_face_index_map(settings, faces)
         if settings.backend == 'pallas':
             raise ValueError('pallas backend requested but unsupported for '
@@ -45,9 +65,11 @@ def _select_forward(settings, faces):
     return forward_xla.forward_face_index_map(settings, faces)
 
 
-def _forward_all(settings, faces, textures):
+def _forward_all(settings, faces, textures, background):
     """Full forward: maps + composited outputs.
 
+    background: f32 ``[3]`` (static color) or ``[bs, 3]`` (per batch
+    element, reference rasterize.py:462-465).
     Returns (rgb, alpha, depth, residuals).
     """
     face_index_map, depth_scan = _select_forward(settings, faces)
@@ -74,9 +96,11 @@ def _forward_all(settings, faces, textures):
             depth_map)
         # background composite (rasterize.py:451-465); part of the forward —
         # the backward reads the *composited* rgb map, like the reference.
-        bg = jnp.asarray(settings.background_color, jnp.float32)
+        # background.ndim selects static [3] vs per-batch [bs, 3] colors.
+        bg = (background[None, None, None, :] if background.ndim == 1
+              else background[:, None, None, :])
         mask = covered.astype(jnp.float32)[..., None]
-        rgb_map = rgb_map * mask + (1.0 - mask) * bg[None, None, None, :]
+        rgb_map = rgb_map * mask + (1.0 - mask) * bg
     else:
         rgb_map = jnp.zeros(
             (faces.shape[0], settings.image_size, settings.image_size, 3),
@@ -96,18 +120,21 @@ def _forward_all(settings, faces, textures):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def rasterize_core(settings, faces, textures):
-    """faces [bs,nf,3,3] NDC, textures [bs,nf,ts,ts,ts,3] -> (rgb,alpha,depth).
+def rasterize_core(settings, faces, textures, background):
+    """faces [bs,nf,3,3] NDC, textures [bs,nf,ts,ts,ts,3],
+    background [3] or [bs,3] -> (rgb, alpha, depth).
 
     Unrequested channels are shape-(1,) zero placeholders (static per
     settings).  rgb is [bs,is,is,3] raster-space (pre-flip).
     """
-    rgb, alpha, depth, _ = _forward_all(settings, faces, textures)
+    rgb, alpha, depth, _ = _forward_all(settings, faces, textures, background)
     return rgb, alpha, depth
 
 
-def _fwd(settings, faces, textures):
-    rgb, alpha, depth, res = _forward_all(settings, faces, textures)
+def _fwd(settings, faces, textures, background):
+    rgb, alpha, depth, res = _forward_all(settings, faces, textures,
+                                          background)
+    res['background'] = background
     return (rgb, alpha, depth), res
 
 
@@ -142,7 +169,20 @@ def _bwd(settings, res, cotangents):
     else:
         grad_textures = jnp.zeros_like(res['textures'])
 
-    return grad_faces, grad_textures
+    # Exact background gradient: d(rgb_out)/d(bg) = (1 - covered mask).
+    # The reference treats the background as a constant (it is a plain
+    # array attribute, not a Function input) — providing the true gradient
+    # is a strict superset of that behavior.
+    background = res['background']
+    if settings.return_rgb:
+        uncovered = (res['face_index_map'] < 0).astype(jnp.float32)
+        per_batch = jnp.sum(g_rgb_map * uncovered[..., None], axis=(1, 2))
+        grad_background = (jnp.sum(per_batch, axis=0)
+                           if background.ndim == 1 else per_batch)
+    else:
+        grad_background = jnp.zeros_like(background)
+
+    return grad_faces, grad_textures, grad_background
 
 
 rasterize_core.defvjp(_fwd, _bwd)

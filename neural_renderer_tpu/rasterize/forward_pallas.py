@@ -43,13 +43,24 @@ overflow (the pure-XLA backend has no capacity limits).
 """
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from neural_renderer_tpu.rasterize import geometry
+from neural_renderer_tpu.rasterize import checks, geometry
+
+
+def _warn_overflow(max_count, cap):
+    if int(max_count) > int(cap):
+        warnings.warn(
+            f'pallas rasterizer: a screen patch binned {int(max_count)} '
+            f'front faces but faces_per_tile_cap={int(cap)} — overflow '
+            'faces are DROPPED and the image/gradients are wrong for '
+            'those patches.  Raise faces_per_tile_cap (or pass '
+            "backend='xla', which has no capacity limits).")
 
 # transposed face-feature table layout (sublane axis):
 # 0:x0 1:y0 2:x1 3:y1 4:x2 5:y2 (NDC xy), 6:z0 7:z1 8:z2,
@@ -137,6 +148,12 @@ def _feature_table(settings, faces):
     finv = geometry.face_inv_matrix(
         geometry.to_pixel_coords(faces[..., 0], is_),
         geometry.to_pixel_coords(faces[..., 1], is_))
+    # Degenerate (zero-area) faces have inf/nan face_inv.  The dense XLA
+    # path contains that per face (nan weights -> z test rejects), but the
+    # one-hot MXU fetch sums nan * 0 over ALL faces — one degenerate face
+    # would poison every slot of every patch it touches.  Zeroed face_inv
+    # gives w = (0,0,0) -> zp = 0/0 = nan -> same rejection, per face.
+    finv = jnp.where(jnp.isfinite(finv), finv, 0.0)
     fid1 = (jnp.arange(nf, dtype=jnp.float32) + 1.0)[None, :, None]
     feat = jnp.concatenate([
         faces[..., 0, 0:2], faces[..., 1, 0:2], faces[..., 2, 0:2],
@@ -221,12 +238,13 @@ def _tile_kernel(settings, p, rows, nf_pad, counts_ref, featT_ref,
         zbuf = jnp.where(valid, zp, jnp.inf)
 
         cmin = jnp.min(zbuf, axis=-1)
-        karg = jnp.argmin(zbuf, axis=-1)
-        # winner's global face id via one-hot reduce
-        lane2 = jax.lax.broadcasted_iota(jnp.int32, (rows, _CHUNK, _CHUNK), 2)
-        sel = lane2 == karg[..., None]
-        ids_i = idf[0, 0].astype(jnp.int32) - 1              # [_CHUNK]
-        win = jnp.sum(jnp.where(sel, ids_i[None, None, :], 0), axis=-1)
+        # winner id = LOWEST face id among the minima.  NOT jnp.argmin:
+        # Mosaic's argmin lowering does not tie-break to the first index,
+        # which broke the reference's first-wins rule on coincident faces
+        # (duplicated geometry is common in real scans/ShapeNet).
+        ids_i = idf.astype(jnp.int32) - 1                    # [1, 1, _CHUNK]
+        win = jnp.min(jnp.where(zbuf == cmin[..., None], ids_i,
+                                jnp.int32(2 ** 30)), axis=-1)
 
         # merge with the running patch state (strict < keeps the earlier
         # chunk's — i.e. lower face id's — win on ties, like the
@@ -244,22 +262,41 @@ def _tile_kernel(settings, p, rows, nf_pad, counts_ref, featT_ref,
         depth_ref[0, 0, 0] = jnp.where(covered, d, settings.far)
 
 
-def forward_face_index_map(settings, faces, interpret=False):
-    """Patch-binned Pallas forward -> (face_index_map int32, depth f32)."""
-    bs, nf = faces.shape[:2]
+def chunk_capacity(settings, nf):
+    """Static per-patch face capacity (the auto heuristic or the user cap),
+    rounded up to whole 128-face chunks."""
     is_ = settings.image_size
-    p = _patch_dim(settings)
-    t = is_ // p
-    nt = t * t
-    rows = (p * p) // _CHUNK
-    nf_pad = -(-nf // _CHUNK) * _CHUNK
+    nt = (is_ // _patch_dim(settings)) ** 2
     if settings.faces_per_tile_cap is None:
         cap = min(nf, max(512, (nf * 16) // nt))             # auto density
     else:
         cap = min(settings.faces_per_tile_cap, nf)
-    k_chunks = -(-cap // _CHUNK)
+    return -(-cap // _CHUNK) * _CHUNK
 
-    prefix, counts = _membership_prefix(settings, faces)
+
+def forward_face_index_map(settings, faces, interpret=False,
+                           prefix_counts=None):
+    """Patch-binned Pallas forward -> (face_index_map int32, depth f32).
+
+    prefix_counts: optional precomputed ``_membership_prefix`` result (the
+    auto-fallback path in core shares it with its overflow test)."""
+    bs, nf = faces.shape[:2]
+    is_ = settings.image_size
+    p = _patch_dim(settings)
+    t = is_ // p
+    rows = (p * p) // _CHUNK
+    nf_pad = -(-nf // _CHUNK) * _CHUNK
+    k_chunks = chunk_capacity(settings, nf) // _CHUNK
+
+    prefix, counts = (prefix_counts if prefix_counts is not None
+                      else _membership_prefix(settings, faces))
+    if settings.runtime_checks and prefix_counts is None:
+        # loud (async, non-blocking) failure when the cap actually drops
+        # faces on THIS scene — validators alone only cover scenes someone
+        # thought to check (ADVICE r1: binning_overflow was never consulted
+        # in the render path).
+        checks.maybe_callback(_warn_overflow, counts.max(),
+                              jnp.int32(k_chunks * _CHUNK))
     counts = jnp.minimum(counts, k_chunks * _CHUNK)
     featT = _feature_table(settings, faces)
 

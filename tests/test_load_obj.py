@@ -2,6 +2,7 @@
 
 import os
 
+import jax
 import numpy as np
 
 import neural_renderer_tpu as nr
@@ -64,3 +65,30 @@ def test_texture_loading(tmp_path):
     assert textures[1, ..., 2].mean() > 0.9
     np.testing.assert_allclose(
         textures[2], np.broadcast_to([0., 1., 0.], textures[2].shape))
+
+
+def test_texture_real_model():
+    """Render a real multi-material ShapeNet model end-to-end (reference
+    test_load_obj.test_texture, tests/test_load_obj.py:52-59 — which saved
+    a PNG with no assertion; here the render is checked for sane coverage
+    and texture color diversity)."""
+    path = os.path.join(DATA_DIR, '4e49873292196f02574b5684eaec43e9',
+                        'model.obj')
+    vertices, faces, textures = nr.load_obj(
+        path, load_texture=True, texture_size=4)
+    assert vertices.ndim == 2 and vertices.shape[1] == 3
+    assert faces.shape[1] == 3 and faces.shape[0] > 1000
+    assert textures.shape == (faces.shape[0], 4, 4, 4, 3)
+    assert np.isfinite(textures).all()
+    assert 0.0 <= textures.min() and textures.max() <= 1.0
+    # multi-material: textures must not be a single flat color
+    assert textures.reshape(-1, 3).std(0).max() > 0.05
+
+    renderer = nr.Renderer()
+    renderer.eye = nr.get_points_from_angles(2, 15, -90)
+    images = np.asarray(jax.jit(renderer.render)(
+        vertices[None], faces[None], textures[None]))
+    assert images.shape == (1, 3, 256, 256)
+    assert np.isfinite(images).all()
+    cover = (images.max(1) > 0.05).mean()
+    assert 0.05 < cover < 0.9, f'implausible coverage {cover}'
