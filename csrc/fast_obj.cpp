@@ -103,9 +103,7 @@ int fobj_parse(const char* path, float** vertices_out, int* nv_out,
                     ++q;
             }
             long nvert = static_cast<long>(verts.size()) / 3;
-            for (size_t i = 0; i + 2 < poly.size() + 0u; ++i) {
-                if (i == 0) continue;  // fan: (0, i, i+1)
-            }
+            // fan triangulation: (0, i, i+1)
             for (size_t i = 1; i + 1 < poly.size(); ++i) {
                 long tri[3] = {poly[0], poly[i], poly[i + 1]};
                 for (int k = 0; k < 3; ++k) {

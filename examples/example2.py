@@ -38,41 +38,46 @@ def run():
     args = parser.parse_args()
     working_directory = os.path.dirname(args.filename_output_result)
 
+    # Mesh pytree as the trainable model (reference mesh.py:8-38):
+    # vertices train through the silhouette loss; textures are constant
+    # white (they get exactly-zero grads here, which the custom Adam's
+    # zero-grad skip leaves untouched — reference optimizers.py:23-28).
     vertices, faces = nr.load_obj(args.filename_obj)
-    vertices = jnp.asarray(vertices[None, :, :])
-    faces = jnp.asarray(faces[None, :, :])
     texture_size = 2
     textures = np.ones(
-        (1, faces.shape[1], texture_size, texture_size, texture_size, 3),
+        (faces.shape[0], texture_size, texture_size, texture_size, 3),
         'float32')
+    mesh = nr.Mesh(vertices=jnp.asarray(vertices),
+                   textures=jnp.asarray(textures), faces=faces)
     image_ref = jnp.asarray(
         imread(args.filename_ref).astype('float32').mean(-1) / 255.0)
 
     renderer = nr.Renderer()
     renderer.eye = nr.get_points_from_angles(2.732, 0, 90)
 
-    def loss_fn(v):
-        image = renderer.render_silhouettes(v, faces)
+    def loss_fn(m):
+        image = renderer.render_silhouettes(m.vertices[None], m.faces[None])
         return jnp.sum(jnp.square(image - image_ref[None]))
 
-    init_fn, update_fn = nr.adam()
-    opt_state = init_fn(vertices)
+    init_fn, update_fn = nr.adam(lr_scales=mesh.lr_scales())
+    opt_state = init_fn(mesh)
 
     @jax.jit
-    def step(v, opt_state):
-        loss, grads = jax.value_and_grad(loss_fn)(v)
+    def step(m, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(m)
         updates, opt_state = update_fn(grads, opt_state)
-        return v + updates, opt_state, loss
+        return jax.tree.map(lambda p, u: p + u, m, updates), opt_state, loss
 
     render_sil = jax.jit(
-        lambda v: renderer.render_silhouettes(v, faces))
+        lambda m: renderer.render_silhouettes(m.vertices[None],
+                                              m.faces[None]))
 
     frames = []
     loop = tqdm.tqdm(range(args.num_steps))
     for i in loop:
-        vertices, opt_state, loss = step(vertices, opt_state)
+        mesh, opt_state, loss = step(mesh, opt_state)
         loop.set_description('Optimizing (loss %.4f)' % float(loss))
-        image = np.asarray(render_sil(vertices))[0]
+        image = np.asarray(render_sil(mesh))[0]
         frame = '%s/_tmp_%04d.png' % (working_directory, i)
         imsave01(frame, image)
         frames.append(frame)
@@ -82,9 +87,10 @@ def run():
 
     # result sweep
     @jax.jit
-    def render_rgb(v, eye):
+    def render_rgb(m, eye):
         renderer.eye = eye
-        return renderer.render(v, faces, textures)
+        return renderer.render(m.vertices[None], m.faces[None],
+                               m.textures[None])
 
     frames = []
     loop = tqdm.tqdm(range(0, 360, 4))
@@ -92,7 +98,7 @@ def run():
         loop.set_description('Drawing')
         eye = nr.get_points_from_angles(
             np.float32(2.732), np.float32(0), np.float32(azimuth))
-        images = np.asarray(render_rgb(vertices, jnp.asarray(eye)))
+        images = np.asarray(render_rgb(mesh, jnp.asarray(eye)))
         frame = '%s/_tmp_%04d.png' % (working_directory, num)
         imsave01(frame, images[0].transpose(1, 2, 0))
         frames.append(frame)

@@ -35,13 +35,17 @@ def run():
     args = parser.parse_args()
     working_directory = os.path.dirname(args.filename_output)
 
+    # Mesh pytree with per-parameter LRs (reference mesh.py:36-38 set_lr +
+    # optimizers.py:16-17): vertices frozen (lr 0), textures trained.  The
+    # vertex K5 gradients are nonzero here, so the LR scale — not a
+    # zero-grad skip — is what keeps the geometry fixed.
     vertices, faces = nr.load_obj(args.filename_obj)
-    vertices = jnp.asarray(vertices[None, :, :])
-    faces = jnp.asarray(faces[None, :, :])
     texture_size = 4
     textures = jnp.zeros(
-        (1, faces.shape[1], texture_size, texture_size, texture_size, 3),
+        (faces.shape[0], texture_size, texture_size, texture_size, 3),
         jnp.float32)
+    mesh = nr.Mesh(vertices=jnp.asarray(vertices), textures=textures,
+                   faces=faces).set_lr(0.0, 1.0)
     image_ref = jnp.asarray(
         imread(args.filename_ref).astype('float32') / 255.0)
 
@@ -50,20 +54,22 @@ def run():
     renderer.light_intensity_directional = 0.0
     renderer.light_intensity_ambient = 1.0
 
-    def loss_fn(tx, eye):
+    def loss_fn(m, eye):
         renderer.eye = eye
-        image = renderer.render(vertices, faces, jnp.tanh(tx))
+        image = renderer.render(m.vertices[None], m.faces[None],
+                                jnp.tanh(m.textures)[None])
         return jnp.sum(jnp.square(
             image - image_ref.transpose(2, 0, 1)[None]))
 
-    init_fn, update_fn = nr.adam(alpha=0.1, beta1=0.5)
-    opt_state = init_fn(textures)
+    init_fn, update_fn = nr.adam(alpha=0.1, beta1=0.5,
+                                 lr_scales=mesh.lr_scales())
+    opt_state = init_fn(mesh)
 
     @jax.jit
-    def step(tx, opt_state, eye):
-        loss, grads = jax.value_and_grad(loss_fn)(tx, eye)
+    def step(m, opt_state, eye):
+        loss, grads = jax.value_and_grad(loss_fn)(m, eye)
         updates, opt_state = update_fn(grads, opt_state)
-        return tx + updates, opt_state, loss
+        return jax.tree.map(lambda p, u: p + u, m, updates), opt_state, loss
 
     loop = tqdm.tqdm(range(args.num_steps))
     for _ in loop:
@@ -71,12 +77,13 @@ def run():
         azimuth = np.random.uniform(0, 360)
         eye = jnp.asarray(nr.get_points_from_angles(
             np.float32(2.732), np.float32(0), np.float32(azimuth)))
-        textures, opt_state, _ = step(textures, opt_state, eye)
+        mesh, opt_state, _ = step(mesh, opt_state, eye)
 
     @jax.jit
-    def render_rgb(tx, eye):
+    def render_rgb(m, eye):
         renderer.eye = eye
-        return renderer.render(vertices, faces, jnp.tanh(tx))
+        return renderer.render(m.vertices[None], m.faces[None],
+                               jnp.tanh(m.textures)[None])
 
     frames = []
     loop = tqdm.tqdm(range(0, 360, 4))
@@ -84,7 +91,7 @@ def run():
         loop.set_description('Drawing')
         eye = jnp.asarray(nr.get_points_from_angles(
             np.float32(2.732), np.float32(0), np.float32(azimuth)))
-        images = np.asarray(render_rgb(textures, eye))
+        images = np.asarray(render_rgb(mesh, eye))
         frame = '%s/_tmp_%04d.png' % (working_directory, num)
         imsave01(frame, images[0].transpose(1, 2, 0))
         frames.append(frame)

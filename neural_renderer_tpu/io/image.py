@@ -29,7 +29,14 @@ def imsave01(path, array):
 
 def make_gif(filenames, output_path, fps=12):
     """Assemble PNG frames into a GIF (replaces the reference's ImageMagick
-    ``convert`` subprocess, examples/example1.py:57-58)."""
-    import imageio
-    frames = [imageio.v2.imread(f) for f in filenames]
-    imageio.mimsave(output_path, frames, duration=1.0 / fps, loop=0)
+    ``convert`` subprocess, examples/example1.py:57-58).
+
+    Uses imageio when installed (better palette handling), else Pillow."""
+    try:
+        import imageio
+        frames = [imageio.v2.imread(f) for f in filenames]
+        imageio.mimsave(output_path, frames, duration=1.0 / fps, loop=0)
+    except ImportError:
+        frames = [Image.open(f).convert('P') for f in filenames]
+        frames[0].save(output_path, save_all=True, append_images=frames[1:],
+                       duration=int(1000 / fps), loop=0)

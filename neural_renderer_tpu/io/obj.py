@@ -167,27 +167,25 @@ def load_obj(filename_obj, normalization=True, texture_size=4,
         with open(filename_obj) as f:
             lines = f.readlines()
 
+        # single pass so negative (relative) face indices resolve against
+        # the vertices seen SO FAR, matching the native parser
+        # (csrc/fast_obj.cpp) on files that interleave v and f lines
         vertices = []
-        for line in lines:
-            parts = line.split()
-            if parts and parts[0] == 'v':
-                vertices.append([float(v) for v in parts[1:4]])
-        vertices = np.vstack(vertices).astype(np.float32)
-
         faces = []
         for line in lines:
             parts = line.split()
-            if parts and parts[0] == 'f':
-                vs = parts[1:]
-                nv = len(vs)
-                v0 = int(vs[0].split('/')[0])
-                for i in range(nv - 2):
-                    v1 = int(vs[i + 1].split('/')[0])
-                    v2 = int(vs[i + 2].split('/')[0])
-                    faces.append((v0, v1, v2))
-        faces = np.vstack(faces).astype(np.int32)
-        faces = np.where(faces > 0, faces - 1,
-                         vertices.shape[0] + faces).astype(np.int32)
+            if not parts:
+                continue
+            if parts[0] == 'v':
+                vertices.append([float(v) for v in parts[1:4]])
+            elif parts[0] == 'f':
+                nvert = len(vertices)
+                idx = [int(c.split('/')[0]) for c in parts[1:]]
+                idx = [i - 1 if i > 0 else nvert + i for i in idx]
+                for k in range(len(idx) - 2):
+                    faces.append((idx[0], idx[k + 1], idx[k + 2]))
+        vertices = np.vstack(vertices).astype(np.float32)
+        faces = np.asarray(faces, np.int32)
 
     textures = None
     if load_texture:

@@ -10,7 +10,6 @@ the custom-VJP core).
 import warnings
 
 import jax.numpy as jnp
-import numpy as np
 
 from neural_renderer_tpu.rasterize.config import (
     DEFAULT_ANTI_ALIASING,
@@ -42,15 +41,43 @@ def use_unsafe_rasterizer(flag):
             'always deterministic (no atomics to trade away).')
 
 
-def _static_background(background_color):
+def _background_array(background_color):
+    """Background color as an f32 array: [3] static or [bs, 3] per batch
+    element (reference rasterize.py:462-465 supports both ndims)."""
     if background_color is None:
-        return DEFAULT_BACKGROUND_COLOR
-    arr = np.asarray(background_color, np.float32)
-    if arr.ndim != 1 or arr.shape[0] != 3:
-        raise NotImplementedError(
-            'only a single static RGB background color is supported '
-            '(the reference also allows per-batch colors; pass bs=1 usage)')
-    return tuple(float(v) for v in arr)
+        background_color = DEFAULT_BACKGROUND_COLOR
+    arr = jnp.asarray(background_color, jnp.float32)
+    if arr.ndim not in (1, 2) or arr.shape[-1] != 3:
+        raise ValueError(
+            'background_color must be an RGB triple [3] or per-batch '
+            f'colors [bs, 3]; got shape {arr.shape}')
+    return arr
+
+
+def _check_inputs(faces, textures, return_rgb):
+    """Shape/dtype validation mirroring the reference Rasterize type checks
+    (rasterize.py:66-90), with actionable error messages."""
+    if faces.ndim != 4 or faces.shape[2:] != (3, 3):
+        raise ValueError(
+            f'faces must be [bs, nf, 3 (vertices), 3 (xyz)]; got '
+            f'{faces.shape}')
+    if not jnp.issubdtype(faces.dtype, jnp.floating):
+        raise ValueError(f'faces must be floating point; got {faces.dtype}')
+    if return_rgb:
+        ts = textures.shape[2] if textures.ndim == 6 else None
+        if (textures.ndim != 6 or textures.shape[5] != 3
+                or not (textures.shape[2] == textures.shape[3]
+                        == textures.shape[4]) or ts < 2):
+            raise ValueError(
+                'textures must be [bs, nf, ts, ts, ts, 3] with ts >= 2; '
+                f'got {textures.shape}')
+        if not jnp.issubdtype(textures.dtype, jnp.floating):
+            raise ValueError(
+                f'textures must be floating point; got {textures.dtype}')
+        if textures.shape[:2] != faces.shape[:2]:
+            raise ValueError(
+                'faces and textures must agree on [bs, nf]; got faces '
+                f'{faces.shape[:2]} vs textures {textures.shape[:2]}')
 
 
 def _avg_pool_2x2(x):
@@ -91,19 +118,22 @@ def rasterize_rgbad(
         if textures is None:
             raise ValueError('textures are required when return_rgb=True')
         textures = jnp.asarray(textures, jnp.float32)
+        _check_inputs(faces, textures, True)
     else:
-        # static placeholder so the custom_vjp signature stays binary
+        _check_inputs(faces, None, False)
+        # static placeholder so the custom_vjp signature stays fixed
         bs, nf = faces.shape[:2]
         textures = jnp.zeros((bs, nf, 1, 1, 1, 3), jnp.float32)
+    background = _background_array(background_color)
 
     render_size = image_size * 2 if anti_aliasing else image_size
     settings = RasterizeSettings(
         image_size=render_size, near=float(near), far=float(far),
-        eps=float(eps), background_color=_static_background(background_color),
+        eps=float(eps),
         return_rgb=return_rgb, return_alpha=return_alpha,
         return_depth=return_depth, **perf_overrides).validate()
 
-    rgb, alpha, depth = rasterize_core(settings, faces, textures)
+    rgb, alpha, depth = rasterize_core(settings, faces, textures, background)
 
     # transpose & vertical flip (rasterize.py:953-960)
     if return_rgb:
@@ -173,10 +203,10 @@ class Rasterize:
                  **perf_overrides):
         if not any((return_rgb, return_alpha, return_depth)):
             raise ValueError('nothing to draw')
+        self.background = _background_array(background_color)
         self.settings = RasterizeSettings(
             image_size=image_size, near=float(near), far=float(far),
             eps=float(eps),
-            background_color=_static_background(background_color),
             return_rgb=return_rgb, return_alpha=return_alpha,
             return_depth=return_depth, **perf_overrides).validate()
 
@@ -186,10 +216,13 @@ class Rasterize:
             if textures is None:
                 raise ValueError('textures required when return_rgb')
             textures = jnp.asarray(textures, jnp.float32)
+            _check_inputs(faces, textures, True)
         else:
+            _check_inputs(faces, None, False)
             bs, nf = faces.shape[:2]
             textures = jnp.zeros((bs, nf, 1, 1, 1, 3), jnp.float32)
-        rgb, alpha, depth = rasterize_core(self.settings, faces, textures)
+        rgb, alpha, depth = rasterize_core(self.settings, faces, textures,
+                                           self.background)
         return (rgb if self.settings.return_rgb else None,
                 alpha if self.settings.return_alpha else None,
                 depth if self.settings.return_depth else None)

@@ -31,12 +31,34 @@ distances back with ``2/is``, rasterize.py:649), so they flow on through
 ``vertices_to_faces`` / ``perspective`` / ``look_at`` by plain JAX autodiff.
 """
 
+import warnings
+
 import jax
 import jax.numpy as jnp
 
-from neural_renderer_tpu.rasterize import geometry
+from neural_renderer_tpu.rasterize import checks, geometry
 
 _EA = [(e, a) for e in range(3) for a in range(2)]
+
+
+def _warn_out_cap(count, cap):
+    if int(count) > int(cap):
+        warnings.warn(
+            f'rasterizer backward: {int(count)} active out-sweep crossings '
+            f'but grad_out_cap={int(cap)} — overflow crossings are DROPPED '
+            'and vertex gradients are wrong.  Raise grad_out_cap (validate '
+            'with backward.count_out_crossings) or use grad_out_cap=None '
+            '(dense, exact).')
+
+
+def _warn_offset_radius(worst, radius):
+    if float(worst) > float(radius):
+        warnings.warn(
+            'rasterizer backward: an active crossing needs an out-pixel '
+            f'offset of {float(worst):.0f} but grad_offset_radius='
+            f'{float(radius):.0f} — those in-sweep contributions read the '
+            'wrong pixel.  Raise grad_offset_radius (validate with '
+            'backward.max_out_offset) or use None (exact gathers).')
 
 
 def _edge_coords(ppx, ppy, e, a):
@@ -241,6 +263,7 @@ def grad_faces_pixel_map(settings, faces, face_index_map, face_w, rgb_map,
     grad = jnp.zeros((bs * nf, 3, 3), jnp.float32)
     act_out_masks = {}
     contribs = []          # per (e, a): (c0, c1) maps, reduced in ONE pass
+    worst_offset = jnp.float32(0.0)   # runtime check for grad_offset_radius
 
     for e, a in _EA:
         X, Y = _edge_coords(ppx, ppy, e, a)
@@ -253,6 +276,11 @@ def grad_faces_pixel_map(settings, faces, face_index_map, face_w, rgb_map,
         lo2 = jnp.maximum(jnp.minimum(cr['d1_in'], lim), 0.0)
         hi2 = jnp.minimum(jnp.maximum(cr['d1_in'], lim), is_ - 1.0)
         act_in = covered & cr['valid'] & (d1 >= lo2) & (d1 <= hi2)
+
+        if (settings.grad_offset_radius is not None
+                and settings.runtime_checks):
+            worst_offset = jnp.maximum(worst_offset, jnp.max(jnp.where(
+                act_in, jnp.abs(cr['d1_out'] - d1), 0.0)))
 
         # out-pixel reference values (rasterize.py:688-695); only the
         # channels the mode uses are fetched (fetches are the expensive op)
@@ -282,6 +310,10 @@ def grad_faces_pixel_map(settings, faces, face_index_map, face_w, rgb_map,
             act_out_masks[(e, a)] = act_out
 
         contribs.append((c0, c1))
+
+    if settings.grad_offset_radius is not None and settings.runtime_checks:
+        checks.maybe_callback(_warn_offset_radius, worst_offset,
+                              jnp.float32(settings.grad_offset_radius))
 
     # ONE combined segment reduction for all 12 contribution channels
     # (scatter-adds cost ~80ms each at 512^2/bs32 — index handling, not
@@ -357,6 +389,8 @@ def _out_sweep_compact(settings, a, masks, fidx, nf, ppx, ppy,
 
     flat = masks.reshape(bs, -1)
     counts = flat.sum(axis=1)
+    if settings.runtime_checks:
+        checks.maybe_callback(_warn_out_cap, counts.max(), jnp.int32(cap))
 
     def nz(m):
         return jnp.nonzero(m, size=cap, fill_value=0)[0].astype(jnp.int32)

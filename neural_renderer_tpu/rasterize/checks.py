@@ -1,0 +1,49 @@
+"""Host-side runtime warnings for the capacity knobs — platform-gated.
+
+Some PJRT plugins (e.g. the experimental ``axon`` TPU platform) don't
+implement host send/recv callbacks at all; ``jax.debug.callback`` then
+fails the whole computation at RUN time.  ``maybe_callback`` probes the
+active backend once (tiny jitted program, cached per backend) and silently
+skips emission where unsupported — the capacity validators in
+``rasterize.backward`` / ``rasterize.forward_pallas`` remain available for
+explicit scene validation there.
+"""
+
+import functools
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _callbacks_supported(backend_name):
+    del backend_name  # cache key only
+
+    def probe(x):
+        jax.debug.callback(lambda v: None, x)
+        return x
+
+    try:
+        # ensure_compile_time_eval: actually EXECUTE the probe even when
+        # this runs while an outer jit is tracing (nested jit would
+        # otherwise be inlined into the trace).  np.asarray readback, not
+        # block_until_ready: some plugin backends only surface the
+        # send/recv UNIMPLEMENTED error on a host transfer.
+        with jax.ensure_compile_time_eval():
+            np.asarray(jax.jit(probe)(jnp.zeros(())))
+        return True
+    except Exception:
+        warnings.warn(
+            'this JAX backend does not support host callbacks; rasterizer '
+            'runtime_checks are disabled — validate capacity knobs '
+            'explicitly with backward.count_out_crossings / '
+            'backward.max_out_offset / forward_pallas.binning_overflow')
+        return False
+
+
+def maybe_callback(fn, *args):
+    """jax.debug.callback(fn, *args) where the platform supports it."""
+    if _callbacks_supported(jax.default_backend()):
+        jax.debug.callback(fn, *args)

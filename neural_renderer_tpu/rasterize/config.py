@@ -6,7 +6,7 @@ BACKGROUND_COLOR=(0,0,0).
 """
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 DEFAULT_IMAGE_SIZE = 256
 DEFAULT_ANTI_ALIASING = True
@@ -28,7 +28,8 @@ class RasterizeSettings:
     near: float = DEFAULT_NEAR
     far: float = DEFAULT_FAR
     eps: float = DEFAULT_EPS
-    background_color: Tuple[float, float, float] = DEFAULT_BACKGROUND_COLOR
+    # background colors are a *traced operand* of rasterize_core ([3] or
+    # per-batch [bs, 3], reference rasterize.py:462-465), not static config.
     return_rgb: bool = True
     return_alpha: bool = True
     return_depth: bool = True
@@ -41,7 +42,7 @@ class RasterizeSettings:
     # XLA forward: number of faces per scan chunk (memory/throughput knob).
     face_chunk: int = 512
     # Pallas forward: max faces binned per 32x32 screen patch.  None = auto
-    # (scales with faces-per-patch density: min(nf, max(256, 8*nf/patches))).
+    # (scales with faces-per-patch density: min(nf, max(512, 16*nf/patches))).
     # Faces stream through the kernel in 128-face chunks gated by per-patch
     # counts, so a generous cap costs binning memory, not kernel compute.
     faces_per_tile_cap: Optional[int] = None
@@ -58,6 +59,13 @@ class RasterizeSettings:
     # within R rows/cols of its pixel — i.e. R >= max face pixel span;
     # validate with `backward.max_out_offset`.  None = exact gathers.
     grad_offset_radius: Optional[int] = None
+    # Emit a host-side warning at runtime whenever a capacity knob above
+    # actually drops records on the scene being rendered (binned faces over
+    # faces_per_tile_cap, out-sweep crossings over grad_out_cap, out-pixel
+    # offsets over grad_offset_radius).  Costs one scalar readback per
+    # check; set False for maximum-throughput production loops *after*
+    # validating the scene.
+    runtime_checks: bool = True
 
     def validate(self):
         if not (self.return_rgb or self.return_alpha or self.return_depth):

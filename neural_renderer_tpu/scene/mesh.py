@@ -1,14 +1,16 @@
 """Trainable mesh: vertices + per-face texture cubes as a JAX pytree.
 
 Mirrors the reference ``Mesh`` chainer.Link (mesh.py:8-38): vertices and
-textures are the trainable leaves, faces are a static int buffer,
-``get_batch`` broadcasts to a minibatch and sigmoid-squashes the textures
-(mesh.py:33), and per-parameter learning rates feed the custom Adam
-(optimizers.py).  Registered as a pytree so it passes straight through
-``jax.grad`` / ``jax.jit`` / optax.
-"""
+textures are the trainable leaves, faces are a *static* int buffer (scene
+topology — a constant of the program, never differentiated), ``get_batch``
+broadcasts to a minibatch and sigmoid-squashes the textures (mesh.py:33),
+and per-parameter learning rates feed the custom Adam (optimizers.py).
 
-import dataclasses
+Pytree layout: children = (vertices, textures); faces and the LR
+multipliers live in hashable aux data, so ``jax.grad(loss)(mesh)`` works
+directly (int leaves would make grad raise) and jit treats the topology as
+a compile-time constant.
+"""
 
 import jax
 import jax.numpy as jnp
@@ -17,16 +19,41 @@ import numpy as np
 from neural_renderer_tpu.io.obj import load_obj
 
 
-@jax.tree_util.register_dataclass
-@dataclasses.dataclass
+class _StaticArray:
+    """Hashable ndarray wrapper for pytree aux data (compile-time constant)."""
+
+    __slots__ = ('value', '_key')
+
+    def __init__(self, value):
+        self.value = np.asarray(value)
+        self.value.setflags(write=False)
+        self._key = (self.value.shape, self.value.dtype.str,
+                     self.value.tobytes())
+
+    def __eq__(self, other):
+        return isinstance(other, _StaticArray) and self._key == other._key
+
+    def __hash__(self):
+        return hash(self._key)
+
+
 class Mesh:
-    vertices: jax.Array                      # [nv, 3] float32 (trainable)
-    textures: jax.Array                      # [nf, ts, ts, ts, 3] (trainable)
-    faces: jax.Array = dataclasses.field(metadata=dict(static=False))  # [nf,3] int32
-    lr_vertices: float = dataclasses.field(
-        default=1.0, metadata=dict(static=True))
-    lr_textures: float = dataclasses.field(
-        default=1.0, metadata=dict(static=True))
+    """vertices [nv, 3] f32 (trainable), textures [nf, ts, ts, ts, 3] f32
+    (trainable), faces [nf, 3] int32 (static topology)."""
+
+    def __init__(self, vertices, textures=None, faces=None,
+                 texture_size=4, normalization=True,
+                 lr_vertices=1.0, lr_textures=1.0):
+        # Reference-compatible constructor: Mesh(filename_obj, ...)
+        if isinstance(vertices, str):
+            m = Mesh.from_obj(vertices, texture_size, normalization)
+            vertices, textures, faces = m.vertices, m.textures, m._faces
+        self.vertices = vertices
+        self.textures = textures
+        self._faces = (faces if isinstance(faces, _StaticArray)
+                       else _StaticArray(np.asarray(faces, np.int32)))
+        self.lr_vertices = lr_vertices
+        self.lr_textures = lr_textures
 
     @classmethod
     def from_obj(cls, filename_obj, texture_size=4, normalization=True,
@@ -41,20 +68,11 @@ class Mesh:
         ).astype('float32')
         return cls(vertices=jnp.asarray(vertices),
                    textures=jnp.asarray(textures),
-                   faces=jnp.asarray(faces, jnp.int32))
+                   faces=np.asarray(faces, np.int32))
 
-    # Reference-compatible constructor: Mesh(filename_obj, ...)
-    def __init__(self, vertices, textures=None, faces=None,
-                 texture_size=4, normalization=True,
-                 lr_vertices=1.0, lr_textures=1.0):
-        if isinstance(vertices, str):
-            m = Mesh.from_obj(vertices, texture_size, normalization)
-            vertices, textures, faces = m.vertices, m.textures, m.faces
-        object.__setattr__(self, 'vertices', vertices)
-        object.__setattr__(self, 'textures', textures)
-        object.__setattr__(self, 'faces', faces)
-        object.__setattr__(self, 'lr_vertices', lr_vertices)
-        object.__setattr__(self, 'lr_textures', lr_textures)
+    @property
+    def faces(self):
+        return jnp.asarray(self._faces.value)
 
     @property
     def num_vertices(self):
@@ -62,7 +80,7 @@ class Mesh:
 
     @property
     def num_faces(self):
-        return self.faces.shape[0]
+        return self._faces.value.shape[0]
 
     @property
     def texture_size(self):
@@ -77,7 +95,7 @@ class Mesh:
         vertices = jnp.broadcast_to(
             self.vertices, (batch_size,) + self.vertices.shape)
         faces = jnp.broadcast_to(
-            self.faces, (batch_size,) + self.faces.shape)
+            self.faces, (batch_size,) + self._faces.value.shape)
         textures = jax.nn.sigmoid(jnp.broadcast_to(
             self.textures, (batch_size,) + self.textures.shape))
         return vertices, faces, textures
@@ -87,12 +105,14 @@ class Mesh:
 
         Returns a new Mesh (pytrees are immutable-style)."""
         return Mesh(vertices=self.vertices, textures=self.textures,
-                    faces=self.faces, lr_vertices=lr_vertices,
+                    faces=self._faces, lr_vertices=lr_vertices,
                     lr_textures=lr_textures)
 
     def lr_scales(self):
-        """Pytree of per-leaf LR multipliers, aligned with trainables()."""
-        return dict(vertices=self.lr_vertices, textures=self.lr_textures)
+        """Mesh-shaped pytree of per-leaf LR multipliers for ``nr.adam``."""
+        return Mesh(vertices=self.lr_vertices, textures=self.lr_textures,
+                    faces=self._faces, lr_vertices=self.lr_vertices,
+                    lr_textures=self.lr_textures)
 
     def trainables(self):
         """The trainable leaves as a dict pytree."""
@@ -100,5 +120,20 @@ class Mesh:
 
     def with_trainables(self, params):
         return Mesh(vertices=params['vertices'], textures=params['textures'],
-                    faces=self.faces, lr_vertices=self.lr_vertices,
+                    faces=self._faces, lr_vertices=self.lr_vertices,
                     lr_textures=self.lr_textures)
+
+    def tree_flatten(self):
+        children = (self.vertices, self.textures)
+        aux = (self._faces, self.lr_vertices, self.lr_textures)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        faces, lr_vertices, lr_textures = aux
+        return cls(vertices=children[0], textures=children[1], faces=faces,
+                   lr_vertices=lr_vertices, lr_textures=lr_textures)
+
+
+jax.tree_util.register_pytree_node(
+    Mesh, lambda m: m.tree_flatten(), Mesh.tree_unflatten)

@@ -1,6 +1,8 @@
 """Textured-render tests (reference tests/test_rasterize.py): Blender golden
 silhouette match + the two hard-coded approximate-gradient regimes."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -86,6 +88,100 @@ def test_backward_case1():
                   [1.41986704, -1.64284933, 0.],
                   [0., 0., 0.]],
         on_face=False)
+
+
+def test_background_colors():
+    """Static [3] and per-batch [bs, 3] background colors (reference
+    rasterize.py:462-465 forward_background ndim==1/2 branches), plus the
+    exact background gradient (a superset of the reference, which treats
+    the background as a constant)."""
+    vertices = np.array(
+        [[0.5, 0.5, 1.], [-0.5, -0.5, 1.], [0.5, -0.5, 1.]], 'float32')
+    bs = 3
+    # face coords [bs, nf=1, 3, 3] (rasterize takes NDC face coords)
+    v = jnp.broadcast_to(jnp.asarray(vertices)[None, None], (bs, 1, 3, 3))
+    tx = jnp.zeros((bs, 1, 2, 2, 2, 3), jnp.float32)
+
+    # static color fills uncovered pixels of every batch element
+    img_s = np.asarray(jax.jit(lambda v: nr.rasterize(
+        v, tx, image_size=16, anti_aliasing=False,
+        background_color=(0.25, 0.5, 0.75)))(v))
+    corner = img_s[:, :, 0, 0]                       # uncovered pixel
+    np.testing.assert_allclose(
+        corner, np.tile([[0.25], [0.5], [0.75]], (1, bs)).T, atol=1e-6)
+
+    # per-batch [bs, 3] colors
+    bg = jnp.asarray([[1., 0., 0.], [0., 1., 0.], [0., 0., 1.]])
+    img_b = np.asarray(jax.jit(lambda v: nr.rasterize(
+        v, tx, image_size=16, anti_aliasing=False,
+        background_color=bg))(v))
+    np.testing.assert_allclose(img_b[:, :, 0, 0], np.eye(3), atol=1e-6)
+
+    # exact background gradient: sum of uncovered-pixel cotangents
+    def loss(bg):
+        img = nr.rasterize(v, tx, image_size=16, anti_aliasing=False,
+                           background_color=bg)
+        return jnp.sum(img)
+
+    g = np.asarray(jax.jit(jax.grad(loss))(bg))
+    # textures are zero, so a pixel is uncovered iff it shows the (nonzero)
+    # per-batch background color
+    uncovered_counts = (img_b.sum(1) > 0).reshape(bs, -1).sum(-1)
+    np.testing.assert_allclose(g, uncovered_counts[:, None] *
+                               np.ones((bs, 3)), rtol=1e-6)
+
+
+def test_input_validation():
+    """Reference-style shape/dtype checks (rasterize.py:66-90) fail fast
+    with clear errors instead of opaque reshape failures."""
+    good_f = jnp.zeros((2, 5, 3, 3), jnp.float32)
+    good_t = jnp.zeros((2, 5, 2, 2, 2, 3), jnp.float32)
+
+    with pytest.raises(ValueError, match='faces must be'):
+        nr.rasterize_silhouettes(jnp.zeros((2, 5, 3), jnp.float32),
+                                 image_size=16)
+    with pytest.raises(ValueError, match='textures must be'):
+        nr.rasterize(good_f, jnp.zeros((2, 5, 2, 2, 2, 4), jnp.float32),
+                     image_size=16)
+    with pytest.raises(ValueError, match='ts >= 2'):
+        nr.rasterize(good_f, jnp.zeros((2, 5, 1, 1, 1, 3), jnp.float32),
+                     image_size=16)
+    with pytest.raises(ValueError, match='agree'):
+        nr.rasterize(good_f, jnp.zeros((2, 4, 2, 2, 2, 3), jnp.float32),
+                     image_size=16)
+    with pytest.raises(ValueError, match='background_color'):
+        nr.rasterize(good_f, good_t, image_size=16,
+                     background_color=(1.0, 0.0))
+
+
+def test_runtime_checks_warn_on_overflow():
+    """Capacity knobs that drop records must warn at runtime (on platforms
+    with host-callback support — hence a CPU subprocess)."""
+    import subprocess
+    import sys
+    script = r'''
+import warnings
+import jax, jax.numpy as jnp, numpy as np
+jax.config.update('jax_platforms', 'cpu')
+import neural_renderer_tpu as nr
+
+v = jnp.asarray([[[[0.5, 0.5, 1.], [-0.5, -0.5, 1.], [0.5, -0.5, 1.]]]])
+with warnings.catch_warnings(record=True) as w:
+    warnings.simplefilter('always')
+    def loss(v):
+        return jnp.sum(nr.rasterize_silhouettes(
+            v, image_size=32, anti_aliasing=False, grad_out_cap=1))
+    g = np.asarray(jax.jit(jax.grad(loss))(v))
+    msgs = [str(x.message) for x in w]
+assert any('grad_out_cap' in m and 'DROPPED' in m for m in msgs), msgs
+print('WARNED-OK')
+'''
+    env = dict(os.environ, JAX_PLATFORMS='cpu')
+    out = subprocess.run([sys.executable, '-c', script], env=env,
+                         capture_output=True, text=True, timeout=300,
+                         cwd=os.path.dirname(os.path.dirname(
+                             os.path.abspath(__file__))))
+    assert 'WARNED-OK' in out.stdout, (out.stdout, out.stderr)
 
 
 def test_backward_case2():
