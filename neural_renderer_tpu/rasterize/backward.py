@@ -233,15 +233,25 @@ def _map_gather(m, row, col):
     return out.reshape(row.shape)
 
 
-def grad_faces_pixel_map(settings, faces, face_index_map, face_w, rgb_map,
-                         alpha_map, grad_rgb_map, grad_alpha_map):
-    """K5: approximate d(loss)/d(faces x,y) from rgb/alpha map gradients.
+def face_segments(settings, faces, face_index_map):
+    """Per-pixel segment ids (pixel -> its face's [bs*nf] slot; uncovered
+    pixels route to the ``bs*nf`` overflow bucket).  Shared by the K5 / K6
+    (ts=2) / K7 scatter so ``core._bwd`` pays the segment reduction ONCE."""
+    bs, nf = faces.shape[:2]
+    covered = face_index_map >= 0
+    fidx = jnp.clip(face_index_map, 0, nf - 1)
+    return jnp.where(
+        covered,
+        jnp.arange(bs, dtype=jnp.int32)[:, None, None] * nf + fidx,
+        bs * nf)
 
-    face_w: each pixel's own face rows (forward residual — covered pixels
-    always hold front faces, so the reference's backface return at
-    rasterize.py:540 is implicit).
-    Returns grad_faces ``[bs, nf, 3, 3]`` (z rows zero).
-    """
+
+def pixel_map_channels(settings, faces, face_index_map, face_w, rgb_map,
+                       alpha_map, grad_rgb_map, grad_alpha_map):
+    """K5 per-pixel contributions: 12 channels (c0, c1 per edge x axis) to
+    be segment-reduced by the caller, plus an already-reduced extra grad
+    from the compacted out-sweep (or None when the out-sweep is dense —
+    then it's folded into the channels)."""
     bs, nf = faces.shape[:2]
     is_ = settings.image_size
     covered = face_index_map >= 0
@@ -255,12 +265,6 @@ def grad_faces_pixel_map(settings, faces, face_index_map, face_w, rgb_map,
     xi = jnp.broadcast_to(
         jnp.arange(is_, dtype=jnp.float32)[None, None, :], (bs, is_, is_))
 
-    seg = jnp.where(covered,
-                    jnp.arange(bs, dtype=jnp.int32)[:, None, None] * nf + fidx,
-                    bs * nf)  # overflow bucket for uncovered pixels
-    seg_flat = seg.reshape(-1)
-
-    grad = jnp.zeros((bs * nf, 3, 3), jnp.float32)
     act_out_masks = {}
     contribs = []          # per (e, a): (c0, c1) maps, reduced in ONE pass
     worst_offset = jnp.float32(0.0)   # runtime check for grad_offset_radius
@@ -315,29 +319,59 @@ def grad_faces_pixel_map(settings, faces, face_index_map, face_w, rgb_map,
         checks.maybe_callback(_warn_offset_radius, worst_offset,
                               jnp.float32(settings.grad_offset_radius))
 
-    # ONE combined segment reduction for all 12 contribution channels
-    # (scatter-adds cost ~80ms each at 512^2/bs32 — index handling, not
-    # bandwidth — so batching channels into rows is a ~10x win).  The
-    # barrier also keeps the per-pixel producers out of the scatter fusion,
-    # whose fused producers lower to scalar loops.
     stacked = jnp.stack([c for pair in contribs for c in pair], axis=-1)
-    stacked = jax.lax.optimization_barrier(stacked)
-    sums = jax.ops.segment_sum(stacked.reshape(-1, 12), seg_flat,
-                               num_segments=bs * nf + 1)[:-1]
-    for ch, (e, a) in enumerate(_EA):
-        grad = grad.at[:, e, 1 - a].add(sums[:, 2 * ch])
-        grad = grad.at[:, (e + 1) % 3, 1 - a].add(sums[:, 2 * ch + 1])
 
+    extra = None
     if settings.grad_out_cap is not None:
+        extra = jnp.zeros((bs, nf, 3, 3), jnp.float32)
         for a in (0, 1):
             masks = jnp.stack([act_out_masks[(e, a)] for e in range(3)],
                               axis=1)                        # [bs, 3, is, is]
-            grad = grad + _out_sweep_compact(
+            extra = extra + _out_sweep_compact(
                 settings, a, masks, fidx, nf, ppx, ppy,
-                alpha_map, rgb_map, grad_rgb_map, grad_alpha_map
-            ).reshape(bs * nf, 3, 3)
+                alpha_map, rgb_map, grad_rgb_map, grad_alpha_map)
+    return stacked, extra
 
+
+def scatter_pixel_channels(sums, bs, nf, grad=None):
+    """Distribute the 12 segment-reduced K5 channels into grad_faces rows.
+
+    sums: ``[bs*nf, 12]`` (the caller's fused segment reduction)."""
+    if grad is None:
+        grad = jnp.zeros((bs * nf, 3, 3), jnp.float32)
+    for ch, (e, a) in enumerate(_EA):
+        grad = grad.at[:, e, 1 - a].add(sums[:, 2 * ch])
+        grad = grad.at[:, (e + 1) % 3, 1 - a].add(sums[:, 2 * ch + 1])
     return grad.reshape(bs, nf, 3, 3)
+
+
+def grad_faces_pixel_map(settings, faces, face_index_map, face_w, rgb_map,
+                         alpha_map, grad_rgb_map, grad_alpha_map):
+    """K5: approximate d(loss)/d(faces x,y) from rgb/alpha map gradients.
+
+    face_w: each pixel's own face rows (forward residual — covered pixels
+    always hold front faces, so the reference's backface return at
+    rasterize.py:540 is implicit).
+    Returns grad_faces ``[bs, nf, 3, 3]`` (z rows zero).
+
+    Standalone entry point (tests / profiling); the production path fuses
+    the segment reduction with K6/K7 in ``core._bwd`` via
+    ``pixel_map_channels``.
+    """
+    bs, nf = faces.shape[:2]
+    stacked, extra = pixel_map_channels(
+        settings, faces, face_index_map, face_w, rgb_map, alpha_map,
+        grad_rgb_map, grad_alpha_map)
+    seg_flat = face_segments(settings, faces, face_index_map).reshape(-1)
+    # the barrier keeps per-pixel producers out of the scatter fusion,
+    # whose fused producers lower to scalar loops
+    stacked = jax.lax.optimization_barrier(stacked)
+    sums = jax.ops.segment_sum(stacked.reshape(-1, 12), seg_flat,
+                               num_segments=bs * nf + 1)[:-1]
+    grad = scatter_pixel_channels(sums, bs, nf)
+    if extra is not None:
+        grad = grad + extra
+    return grad
 
 
 def count_out_crossings(settings, faces, face_index_map, per_row=False):
@@ -392,10 +426,18 @@ def _out_sweep_compact(settings, a, masks, fidx, nf, ppx, ppy,
     if settings.runtime_checks:
         checks.maybe_callback(_warn_out_cap, counts.max(), jnp.int32(cap))
 
-    def nz(m):
-        return jnp.nonzero(m, size=cap, fill_value=0)[0].astype(jnp.int32)
-
-    rec = jax.vmap(nz)(flat)                                 # [bs, cap]
+    # Compaction by INVERSION: each active pixel knows its output slot
+    # (prefix-sum rank), so one segment_sum scatters pixel indices into
+    # slots — ~8 ms at 786k indices vs ~220 ms/axis for jnp.nonzero
+    # (vmap'd nonzero lowers to sort machinery on TPU).  Overflow ranks
+    # route to the dumpster slot `cap`.
+    n = flat.shape[1]
+    prefix = jnp.cumsum(flat.astype(jnp.int32), axis=1)
+    pos = jnp.where(flat, jnp.minimum(prefix - 1, cap), cap)
+    idx_src = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None], pos.shape)
+    idx_src = jax.lax.optimization_barrier(idx_src * flat)  # scalar-fusion guard
+    rec = jax.vmap(lambda p, s: jax.ops.segment_sum(
+        s, p, num_segments=cap + 1))(pos, idx_src)[:, :cap].astype(jnp.int32)
     valid = (jnp.arange(cap, dtype=jnp.int32)[None, :]
              < jnp.minimum(counts, cap)[:, None])
 
@@ -593,19 +635,16 @@ def _take_rows(m, ridx):
     return jax.vmap(lambda mm, ii: mm[ii])(m, ridx)
 
 
-def grad_faces_depth(settings, faces, face_index_map, face_w, face_inv_map,
-                     weight_map, depth_map, grad_depth_map):
-    """K7: analytic depth gradient (rasterize.py:794-847).
+def depth_channels(settings, faces, face_index_map, face_w, face_inv_map,
+                   weight_map, depth_map, grad_depth_map):
+    """K7 per-pixel contributions [bs, is, is, 3, 3] (rasterize.py:794-847).
 
     dL/dz_k += g * w_k * d^2 / z_k^2 ;
     dL/d(x,y)_k += -g * tmp_l * w_k * d^2 * is/2,
     tmp_l = sum_rows(-face_inv[row, l] / z_row).
-    Scatter-add per pixel into its face — segment_sum, no atomics.
     """
-    bs, nf = faces.shape[:2]
-    covered = face_index_map >= 0
-    fidx = jnp.clip(face_index_map, 0, nf - 1)
     is_ = settings.image_size
+    covered = face_index_map >= 0
 
     z = face_w[..., 2]                  # winner vertex depths [bs,is,is,3]
 
@@ -618,11 +657,19 @@ def grad_faces_depth(settings, faces, face_index_map, face_w, face_inv_map,
            * weight_map[..., None] * d2[..., None, None] * (is_ / 2.0))
 
     contrib = jnp.concatenate([gxy, gz[..., None]], axis=-1)   # [bs,is,is,3,3]
-    contrib = jnp.where(covered[..., None, None], contrib, 0.0)
+    return jnp.where(covered[..., None, None], contrib, 0.0)
 
-    seg = jnp.where(covered,
-                    jnp.arange(bs, dtype=jnp.int32)[:, None, None] * nf + fidx,
-                    bs * nf)
+
+def grad_faces_depth(settings, faces, face_index_map, face_w, face_inv_map,
+                     weight_map, depth_map, grad_depth_map):
+    """K7: standalone entry point (tests / profiling); production fuses the
+    scatter with K5/K6 in ``core._bwd``.  Scatter-add per pixel into its
+    face — segment_sum, no atomics."""
+    bs, nf = faces.shape[:2]
+    contrib = depth_channels(settings, faces, face_index_map, face_w,
+                             face_inv_map, weight_map, depth_map,
+                             grad_depth_map)
+    seg = face_segments(settings, faces, face_index_map)
     contrib = jax.lax.optimization_barrier(contrib)   # scalar-fusion guard
     flat = jax.ops.segment_sum(contrib.reshape(-1, 9), seg.reshape(-1),
                                num_segments=bs * nf + 1)[:-1]

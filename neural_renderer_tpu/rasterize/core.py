@@ -143,6 +143,7 @@ def _bwd(settings, res, cotangents):
     faces = res['faces']
     bs, nf = faces.shape[:2]
     is_ = settings.image_size
+    ts = res['textures'].shape[2]
 
     zero_map = jnp.zeros((bs, is_, is_), jnp.float32)
     g_rgb_map = g_rgb if settings.return_rgb else jnp.zeros(
@@ -150,22 +151,63 @@ def _bwd(settings, res, cotangents):
     g_alpha_map = g_alpha if settings.return_alpha else zero_map
     g_depth_map = g_depth if settings.return_depth else zero_map
 
-    grad_faces = jnp.zeros_like(faces)
+    # K5 / K6(ts=2) / K7 all scatter per-pixel contributions into the same
+    # pixel->face segments.  Scatter cost on TPU is per-index, not
+    # per-byte (~80 ms per 8.4M indices at 512^2 bs32), so every channel
+    # rides ONE fused segment reduction.
+    channels = []           # (name, per-pixel [bs, is, is, C]) pairs
+    extra_k5 = None
     if settings.return_rgb or settings.return_alpha:
-        grad_faces = grad_faces + bwd.grad_faces_pixel_map(
+        stacked, extra_k5 = bwd.pixel_map_channels(
             settings, faces, res['face_index_map'], res['face_w'],
             res['rgb_map'], res['alpha_map'], g_rgb_map, g_alpha_map)
+        channels.append(('k5', stacked))
     if settings.return_depth:
-        grad_faces = grad_faces + bwd.grad_faces_depth(
+        contrib = bwd.depth_channels(
             settings, faces, res['face_index_map'], res['face_w'],
             res['face_inv_map'], res['weight_map'], res['depth_map'],
             g_depth_map)
+        channels.append(('k7', contrib.reshape(bs, is_, is_, 9)))
+    if settings.return_rgb and ts == 2:
+        rows = tex.texture_channels_ts2(
+            settings, res['face_index_map'], res['face_w'],
+            res['weight_map'], res['depth_map'], g_rgb_map)
+        channels.append(('k6', rows))
+
+    sums = {}
+    if channels:
+        seg_flat = bwd.face_segments(
+            settings, faces, res['face_index_map']).reshape(-1)
+        fused = jnp.concatenate([c for _, c in channels], axis=-1)
+        # the barrier keeps per-pixel producers out of the scatter fusion,
+        # whose fused producers lower to scalar loops
+        fused = jax.lax.optimization_barrier(fused)
+        total = jax.ops.segment_sum(
+            fused.reshape(-1, fused.shape[-1]), seg_flat,
+            num_segments=bs * nf + 1)[:-1]
+        off = 0
+        for name, c in channels:
+            width = c.shape[-1]
+            sums[name] = total[:, off:off + width]
+            off += width
+
+    grad_faces = jnp.zeros_like(faces)
+    if 'k5' in sums:
+        grad_faces = grad_faces + bwd.scatter_pixel_channels(
+            sums['k5'], bs, nf)
+        if extra_k5 is not None:
+            grad_faces = grad_faces + extra_k5
+    if 'k7' in sums:
+        grad_faces = grad_faces + sums['k7'].reshape(bs, nf, 3, 3)
 
     if settings.return_rgb:
-        grad_textures = tex.grad_textures(
-            settings, faces, res['face_index_map'], res['face_w'],
-            res['weight_map'], res['depth_map'], g_rgb_map,
-            res['textures'].shape)
+        if ts == 2:
+            grad_textures = sums['k6'].reshape(res['textures'].shape)
+        else:
+            grad_textures = tex.grad_textures(
+                settings, faces, res['face_index_map'], res['face_w'],
+                res['weight_map'], res['depth_map'], g_rgb_map,
+                res['textures'].shape)
     else:
         grad_textures = jnp.zeros_like(res['textures'])
 

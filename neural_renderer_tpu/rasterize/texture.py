@@ -101,6 +101,27 @@ def sample_textures(settings, faces, textures, face_index_map, face_w,
     return jnp.where(covered[..., None], rgb, 0.0)
 
 
+def texture_channels_ts2(settings, face_index_map, face_w, weight_map,
+                         depth_map, grad_rgb_map):
+    """K6 per-pixel contributions for ts=2: the winner cube's full 24
+    channels (8 cells x rgb) per pixel, to be segment-reduced by the
+    caller over the shared pixel->face map."""
+    covered = face_index_map >= 0
+    tif = _texture_index_float(settings, face_w, weight_map, depth_map, 2)
+    lo = tif.astype(jnp.int32)
+    rows = []
+    for isc_static in range(8):
+        # invert the static pn <-> cell map: pn bits (b0,b1,b2) place the
+        # corner at cell b0*4 + b1*2 + b2
+        b0, b1, b2 = (isc_static >> 2) & 1, (isc_static >> 1) & 1, \
+            isc_static & 1
+        pn = b0 | (b1 << 1) | (b2 << 2)
+        w, _ = _corner(tif, lo, pn, 2)
+        rows.append(jnp.where(covered[..., None],
+                              w[..., None] * grad_rgb_map, 0.0))
+    return jnp.concatenate(rows, axis=-1)                    # [bs,is,is,24]
+
+
 def grad_textures(settings, faces, face_index_map, face_w, weight_map,
                   depth_map, grad_rgb_map, texture_shape):
     """Backward texture gradient (K6, rasterize.py:750-792).
@@ -109,7 +130,8 @@ def grad_textures(settings, faces, face_index_map, face_w, weight_map,
     of every covered pixel — a deterministic segment_sum replacing atomicAdd.
     For ts=2 the 8 corners are the whole cube with static cell indices, so
     the entire gradient is ONE segment reduction of 24-wide rows per face
-    (scatter cost on TPU is per-index, not per-byte).
+    (scatter cost on TPU is per-index, not per-byte); production fuses that
+    reduction with K5/K7 in ``core._bwd`` via ``texture_channels_ts2``.
     """
     bs, nf, ts = texture_shape[0], texture_shape[1], texture_shape[2]
     covered = face_index_map >= 0
@@ -125,17 +147,8 @@ def grad_textures(settings, faces, face_index_map, face_w, weight_map,
         bs * nf)
 
     if ts == 2:
-        rows = []
-        for isc_static in range(n_cells):
-            # invert the static pn <-> cell map: pn bits (b0,b1,b2) place the
-            # corner at cell b0*4 + b1*2 + b2
-            b0, b1, b2 = (isc_static >> 2) & 1, (isc_static >> 1) & 1, \
-                isc_static & 1
-            pn = b0 | (b1 << 1) | (b2 << 2)
-            w, _ = _corner(tif, lo, pn, ts)
-            rows.append(jnp.where(covered[..., None],
-                                  w[..., None] * grad_rgb_map, 0.0))
-        rows = jnp.concatenate(rows, axis=-1)                # [bs,is,is,24]
+        rows = texture_channels_ts2(settings, face_index_map, face_w,
+                                    weight_map, depth_map, grad_rgb_map)
         rows = jax.lax.optimization_barrier(rows)
         flat = jax.ops.segment_sum(
             rows.reshape(-1, n_cells * 3), seg_face.reshape(-1),
