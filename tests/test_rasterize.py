@@ -154,6 +154,27 @@ def test_input_validation():
                      background_color=(1.0, 0.0))
 
 
+def test_compacted_out_sweep_matches_dense(teapot_batch):
+    """grad_out_cap / grad_offset_radius with sufficient capacity must
+    reproduce the dense/exact backward (only f32 summation order differs)."""
+    vertices, faces, textures = teapot_batch
+    renderer = nr.Renderer()
+    renderer.image_size = 64
+    renderer.anti_aliasing = False
+
+    def loss(v, **perf):
+        renderer.perf_overrides = perf
+        image = renderer.render_silhouettes(v, faces)
+        return jnp.sum(jnp.square(image - 0.5))
+
+    g_exact = np.asarray(jax.jit(
+        jax.grad(lambda v: loss(v)))(vertices))
+    g_compact = np.asarray(jax.jit(jax.grad(lambda v: loss(
+        v, grad_out_cap=4096, grad_offset_radius=40)))(vertices))
+    np.testing.assert_allclose(g_compact, g_exact, rtol=1e-4, atol=1e-6)
+    assert np.abs(g_exact).max() > 0
+
+
 def test_runtime_checks_warn_on_overflow():
     """Capacity knobs that drop records must warn at runtime (on platforms
     with host-callback support — hence a CPU subprocess)."""
