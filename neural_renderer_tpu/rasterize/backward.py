@@ -269,38 +269,69 @@ def pixel_map_channels(settings, faces, face_index_map, face_w, rgb_map,
     contribs = []          # per (e, a): (c0, c1) maps, reduced in ONE pass
     worst_offset = jnp.float32(0.0)   # runtime check for grad_offset_radius
 
+    # In-sweep via the Pallas kernel when the bounded-offset contract is in
+    # force (grad_offset_radius set): the out-pixel fetch + crossing math
+    # fuse into one VMEM pass per axis instead of 2R+1 material shifted
+    # copies per (edge, axis).  Note kernel c0/c1 require the same
+    # alpha+rgb dg as this XLA path, so it only runs for the standard
+    # mode combinations.
+    kernel_in = None
+    if settings.grad_offset_radius is not None:
+        from neural_renderer_tpu.rasterize import backward_pallas
+        if backward_pallas.supported(settings):
+            kernel_in = {}
+            for a in (0, 1):
+                six = backward_pallas.insweep_channels(
+                    settings, a, ppx, ppy, alpha_map, grad_alpha_map,
+                    rgb_map if settings.return_rgb else None,
+                    grad_rgb_map if settings.return_rgb else None)
+                for e in range(3):
+                    kernel_in[(e, a)] = (six[2 * e], six[2 * e + 1])
+
     for e, a in _EA:
         X, Y = _edge_coords(ppx, ppy, e, a)
         d0 = xi if a == 0 else yi
         d1 = yi if a == 0 else xi
         cr = _crossing(settings, X, Y, a, d0)
 
-        # ---------------- in-sweep (exact, per covered pixel) -------------
-        lim = _in_limit(settings, X, Y, d0, cr['direction'])
-        lo2 = jnp.maximum(jnp.minimum(cr['d1_in'], lim), 0.0)
-        hi2 = jnp.minimum(jnp.maximum(cr['d1_in'], lim), is_ - 1.0)
-        act_in = covered & cr['valid'] & (d1 >= lo2) & (d1 <= hi2)
+        if kernel_in is not None:
+            c0, c1 = kernel_in[(e, a)]
+            if settings.runtime_checks:
+                lim = _in_limit(settings, X, Y, d0, cr['direction'])
+                lo2 = jnp.maximum(jnp.minimum(cr['d1_in'], lim), 0.0)
+                hi2 = jnp.minimum(jnp.maximum(cr['d1_in'], lim), is_ - 1.0)
+                act_in = covered & cr['valid'] & (d1 >= lo2) & (d1 <= hi2)
+                worst_offset = jnp.maximum(worst_offset, jnp.max(jnp.where(
+                    act_in, jnp.abs(cr['d1_out'] - d1), 0.0)))
+        else:
+            # -------------- in-sweep (exact, per covered pixel) -----------
+            lim = _in_limit(settings, X, Y, d0, cr['direction'])
+            lo2 = jnp.maximum(jnp.minimum(cr['d1_in'], lim), 0.0)
+            hi2 = jnp.minimum(jnp.maximum(cr['d1_in'], lim), is_ - 1.0)
+            act_in = covered & cr['valid'] & (d1 >= lo2) & (d1 <= hi2)
 
-        if (settings.grad_offset_radius is not None
-                and settings.runtime_checks):
-            worst_offset = jnp.maximum(worst_offset, jnp.max(jnp.where(
-                act_in, jnp.abs(cr['d1_out'] - d1), 0.0)))
+            if (settings.grad_offset_radius is not None
+                    and settings.runtime_checks):
+                worst_offset = jnp.maximum(worst_offset, jnp.max(jnp.where(
+                    act_in, jnp.abs(cr['d1_out'] - d1), 0.0)))
 
-        # out-pixel reference values (rasterize.py:688-695); only the
-        # channels the mode uses are fetched (fetches are the expensive op)
-        dg = jnp.zeros_like(d0)
-        if settings.return_alpha:
-            a_out = _out_pixel_values(settings, alpha_map, a,
-                                      cr['d1_out'], d1, d0)
-            dg = dg + (alpha_map - a_out) * grad_alpha_map
-        if settings.return_rgb:
-            rgb_out = _out_pixel_values(settings, rgb_map, a,
-                                        cr['d1_out'], d1, d0)
-            dg = dg + jnp.sum((rgb_map - rgb_out) * grad_rgb_map, axis=-1)
-        delta = d1 - cr['d1_cross']
-        c0, c1 = _dist_contrib(settings, dg, delta, X[0], X[1], d0)
-        c0 = jnp.where(act_in, c0, 0.0)
-        c1 = jnp.where(act_in, c1, 0.0)
+            # out-pixel reference values (rasterize.py:688-695); only the
+            # channels the mode uses are fetched (fetches are the expensive
+            # op)
+            dg = jnp.zeros_like(d0)
+            if settings.return_alpha:
+                a_out = _out_pixel_values(settings, alpha_map, a,
+                                          cr['d1_out'], d1, d0)
+                dg = dg + (alpha_map - a_out) * grad_alpha_map
+            if settings.return_rgb:
+                rgb_out = _out_pixel_values(settings, rgb_map, a,
+                                            cr['d1_out'], d1, d0)
+                dg = dg + jnp.sum((rgb_map - rgb_out) * grad_rgb_map,
+                                  axis=-1)
+            delta = d1 - cr['d1_cross']
+            c0, c1 = _dist_contrib(settings, dg, delta, X[0], X[1], d0)
+            c0 = jnp.where(act_in, c0, 0.0)
+            c1 = jnp.where(act_in, c1, 0.0)
 
         # ---------------- out-sweep ---------------------------------------
         # r is the in-pixel of its own face's crossing iff d1_in == r.d1.

@@ -1,0 +1,207 @@
+"""Pallas TPU kernel for the K5 in-sweep (the per-pixel half of the paper's
+approximate vertex gradient).
+
+The XLA in-sweep (``backward.pixel_map_channels``) is dominated by the
+out-pixel value fetch: for every pixel q, the value of its crossing's
+out-pixel at lane ``d1_out`` — a per-pixel dynamic gather along the sweep
+axis.  XLA's best formulation (pad + 2R+1 shifted selects) costs ~42 ms
+per edge/axis pass at 512^2 bs32 because every shifted copy is material.
+Here the whole in-sweep runs in one kernel per axis:
+
+  * maps are laid out with the sweep axis on lanes (axis 0 passes get
+    transposed inputs and outputs — cheap, HBM-bandwidth bound);
+  * the bounded-offset fetch is a chain of 2R+1 single-lane rolls of the
+    value planes held in vector registers, with a per-pixel select —
+    no materialization, no MXU padding waste;
+  * the crossing / gating / 1-dist contribution math (reference
+    rasterize.py:661-730) is fused into the same pass, so each map is
+    read from HBM exactly once per axis.
+
+Exact iff every active pixel's |d1_out - d1| <= radius — the same
+contract as ``RasterizeSettings.grad_offset_radius`` (validate with
+``backward.max_out_offset``; ``runtime_checks`` warns at run time).
+Rolls wrap, but a wrapped lane can only be selected if ``d1_out`` were
+out of bounds, which the crossing validity test already excludes.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+_LANE = 128
+
+
+def supported(settings):
+    if jax.default_backend() != 'tpu':
+        return False
+    if settings.grad_offset_radius is None:
+        return False
+    is_ = settings.image_size
+    return is_ % _LANE == 0 and is_ % 8 == 0
+
+
+def _rows_per_block(is_):
+    # small blocks: the unrolled 3-edge roll chain keeps a few hundred
+    # [rows, is] temporaries live on Mosaic's VMEM stack
+    for r in (16, 8):
+        if is_ % r == 0:
+            return r
+    return is_
+
+
+def _kernel(settings, dir_lt, radius, rows, is_,
+            xs0, xs1, xs2, ys0, ys1, ys2, alpha, ga, *rest_and_outs):
+    """One axis of the in-sweep.  xs*/ys* are the walk-frame pixel-space
+    vertex coords of each pixel's own face; alpha doubles as the coverage
+    mask (it is exactly 1.0 on covered pixels pre-AA)."""
+    use_rgb = settings.return_rgb
+    use_alpha = settings.return_alpha
+    rgb = rest_and_outs[:3] if use_rgb else ()
+    grgb = rest_and_outs[3:6] if use_rgb else ()
+    outs = rest_and_outs[6:] if use_rgb else rest_and_outs
+    eps = settings.eps
+
+    i = pl.program_id(1)
+    d0 = (i * rows
+          + jax.lax.broadcasted_iota(jnp.int32, (rows, is_), 0)
+          ).astype(jnp.float32)
+    d1 = jax.lax.broadcasted_iota(jnp.int32, (rows, is_), 1).astype(
+        jnp.float32)
+
+    av = alpha[0]
+    gav = ga[0]
+    covered = av >= 0.5
+    xs = [xs0[0], xs1[0], xs2[0]]
+    ys = [ys0[0], ys1[0], ys2[0]]
+    # values whose out-pixel version dg needs, and their grad factors at q
+    planes = []
+    grads = []
+    if use_alpha:
+        planes.append(av)
+        grads.append(gav)
+    if use_rgb:
+        planes += [r[0] for r in rgb]
+        grads += [g[0] for g in grgb]
+    s1 = sum(p * g for p, g in zip(planes, grads))
+    nch = len(planes)
+
+    # phase A: per-edge crossing math (reference rasterize.py:567-579,
+    # 663-670; same op order as backward._crossing / _in_limit)
+    per_edge = []
+    for e in range(3):
+        pi = [(e + k) % 3 for k in range(3)]
+        X0, X1, X2 = (xs[p] for p in pi)
+        Y0, Y1, Y2 = (ys[p] for p in pi)
+
+        direction = jnp.where(X0 < X1, jnp.float32(dir_lt),
+                              jnp.float32(-dir_lt))
+
+        d0_from = jnp.maximum(jnp.ceil(jnp.minimum(X0, X1)), 0.0)
+        d0_to = jnp.trunc(jnp.minimum(jnp.maximum(X0, X1), is_ - 1.0))
+        in_extent = (d0 >= d0_from) & (d0 <= d0_to)
+        d1_cross = (Y1 - Y0) / (X1 - X0) * (d0 - X0) + Y0
+        d1_in = jnp.where(direction > 0, jnp.floor(d1_cross),
+                          jnp.ceil(d1_cross))
+        d1_out = d1_in + direction
+        valid = (in_extent
+                 & (d1_in >= 0) & (d1_in <= is_ - 1)
+                 & (d1_out >= 0) & (d1_out <= is_ - 1))
+
+        mid = (d0 - X0) * (d0 - X2) < 0
+        c_a = (Y2 - Y0) / (X2 - X0) * (d0 - X0) + Y0
+        c_b = (Y1 - Y2) / (X1 - X2) * (d0 - X2) + Y2
+        d0_cross2 = jnp.where(mid, c_a, c_b)
+        lim = jnp.where(direction > 0, jnp.ceil(d0_cross2),
+                        jnp.floor(d0_cross2))
+        lim = jnp.where(jnp.isnan(lim), 0.0, lim)
+        lo2 = jnp.maximum(jnp.minimum(d1_in, lim), 0.0)
+        hi2 = jnp.minimum(jnp.maximum(d1_in, lim), is_ - 1.0)
+        act_in = covered & valid & (d1 >= lo2) & (d1 <= hi2)
+
+        delta = (d1_out - d1).astype(jnp.int32)
+        per_edge.append(dict(X0=X0, X1=X1, d1_cross=d1_cross,
+                             act_in=act_in, delta=delta))
+
+    # phase B: ONE chained roll over a sublane-stacked value block shared
+    # by all 3 edges; per step, contract channels once and select into each
+    # edge's out-value product accumulator
+    stacked_v = (jnp.concatenate(planes, axis=0) if nch > 1 else planes[0])
+    stacked_g = (jnp.concatenate(grads, axis=0) if nch > 1 else grads[0])
+    outprod = [jnp.zeros_like(av) for _ in range(3)]   # sum_c out_c*grad_c
+    rolled = jnp.roll(stacked_v, radius, axis=1)
+    for s in range(-radius, radius + 1):
+        prod = rolled * stacked_g
+        psum = prod if nch == 1 else sum(
+            prod[c * rows:(c + 1) * rows] for c in range(nch))
+        for e in range(3):
+            outprod[e] = jnp.where(per_edge[e]['delta'] == s, psum,
+                                   outprod[e])
+        if s < radius:
+            rolled = jnp.roll(rolled, -1, axis=1)
+
+    # phase C: dg gating + the two -dg/dist terms
+    # (reference rasterize.py:648-657,719-728)
+    for e in range(3):
+        pe = per_edge[e]
+        X0, X1 = pe['X0'], pe['X1']
+        dg = s1 - outprod[e]
+        gate = dg > 0
+        delta_f = d1 - pe['d1_cross']
+        act_in = pe['act_in']
+
+        def one(k_num, k_den):
+            dist = k_num / k_den * delta_f * 2.0 / is_
+            dist = jnp.where(dist > 0, dist + eps, dist - eps)
+            return -dg / dist
+
+        outs[2 * e][0] = jnp.where(act_in & gate & (X1 != d0),
+                                   one(X1 - X0, X1 - d0), 0.0)
+        outs[2 * e + 1][0] = jnp.where(act_in & gate & (X0 != d0),
+                                       one(X1 - X0, d0 - X0), 0.0)
+
+
+def insweep_channels(settings, a, ppx, ppy, alpha_map, grad_alpha_map,
+                     rgb_map=None, grad_rgb_map=None, interpret=False):
+    """In-sweep contribution channels for one walk axis.
+
+    a: 0 (column sweeps — handled by transposing in/outputs) or 1 (row
+    sweeps).  ppx/ppy: ``[bs, is, is, 3]`` pixel-space vertex coords of
+    each pixel's face.  Returns 6 maps ``[bs, is, is]``: (c0, c1) per edge.
+    """
+    is_ = settings.image_size
+    bs = alpha_map.shape[0]
+    radius = int(settings.grad_offset_radius)
+    rows = _rows_per_block(is_)
+
+    def tr(m):
+        return m.transpose(0, 2, 1) if a == 0 else m
+
+    # walk frame: X = coord along the walk axis, Y = sweep coord
+    if a == 0:
+        xs = [tr(ppx[..., k]) for k in range(3)]
+        ys = [tr(ppy[..., k]) for k in range(3)]
+        dir_lt = -1.0
+    else:
+        xs = [ppy[..., k] for k in range(3)]
+        ys = [ppx[..., k] for k in range(3)]
+        dir_lt = 1.0
+
+    inputs = xs + ys + [tr(alpha_map), tr(grad_alpha_map)]
+    if settings.return_rgb:
+        inputs += [tr(rgb_map[..., c]) for c in range(3)]
+        inputs += [tr(grad_rgb_map[..., c]) for c in range(3)]
+
+    kernel = functools.partial(_kernel, settings, dir_lt, radius,
+                               rows, is_)
+    spec = pl.BlockSpec((1, rows, is_), lambda b, i: (b, i, 0))
+    outs = pl.pallas_call(
+        kernel,
+        grid=(bs, is_ // rows),
+        in_specs=[spec] * len(inputs),
+        out_specs=[spec] * 6,
+        out_shape=[jax.ShapeDtypeStruct((bs, is_, is_), jnp.float32)] * 6,
+        interpret=interpret,
+    )(*inputs)
+    return [tr(o) for o in outs]

@@ -1,0 +1,123 @@
+"""In-sweep Pallas kernel vs the XLA reference path (interpret mode on CPU,
+compiled on TPU when available)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import neural_renderer_tpu as nr
+from neural_renderer_tpu.ops.transforms import look_at, perspective
+from neural_renderer_tpu.ops.vertices_to_faces import vertices_to_faces
+from neural_renderer_tpu.rasterize import (backward, backward_pallas,
+                                           forward_xla, geometry)
+from neural_renderer_tpu.rasterize import texture as tex
+from neural_renderer_tpu.rasterize.config import RasterizeSettings
+from utils import DATA_DIR
+import os
+
+
+def _scene(is_, bs=2):
+    v, f = nr.load_obj(os.path.join(DATA_DIR, 'teapot.obj'))
+    v = jnp.asarray(np.tile(v[None], (bs, 1, 1)))
+    fi = jnp.asarray(np.tile(f[None], (bs, 1, 1)))
+    f2 = jnp.concatenate([fi, fi[:, :, ::-1]], 1)
+    eye = jnp.asarray(nr.get_points_from_angles(
+        np.float32(2.732), np.float32(30), np.float32(90)))
+    fc = jax.jit(lambda v: vertices_to_faces(
+        perspective(look_at(v, eye), 30.0), f2))(v)
+    return fc
+
+
+def test_insweep_kernel_matches_xla():
+    is_ = 128
+    fc = _scene(is_)
+    s = RasterizeSettings(image_size=is_, return_rgb=True, return_alpha=True,
+                          return_depth=False, runtime_checks=False,
+                          grad_offset_radius=16)
+    s_ref = dataclasses.replace(s, grad_offset_radius=None)
+
+    fim, _ = jax.jit(
+        lambda f: forward_xla.forward_face_index_map(s, f))(fc)
+    face_w = jax.jit(forward_xla.gather_face_rows)(fc, fim)
+    bs = fc.shape[0]
+    ppx = geometry.to_pixel_coords(face_w[..., 0], is_)
+    ppy = geometry.to_pixel_coords(face_w[..., 1], is_)
+    alpha = (fim >= 0).astype(jnp.float32)
+    key = jax.random.PRNGKey(0)
+    ga = jax.random.normal(key, alpha.shape)
+    rgb = jax.random.uniform(jax.random.PRNGKey(1),
+                             alpha.shape + (3,))
+    grgb = jax.random.normal(jax.random.PRNGKey(2), rgb.shape)
+
+    interpret = jax.default_backend() != 'tpu'
+    kout = []
+    for a in (0, 1):
+        kout.append(jax.jit(lambda ppx, ppy, al, g, r, gr, a=a:
+                    backward_pallas.insweep_channels(
+                        s, a, ppx, ppy, al, g, r, gr,
+                        interpret=interpret))(ppx, ppy, alpha, ga, rgb, grgb))
+
+    # XLA reference: the exact-gather in-sweep contributions per (e, a)
+    yi = jnp.broadcast_to(jnp.arange(is_, dtype=jnp.float32)[None, :, None],
+                          (bs, is_, is_))
+    xi = jnp.broadcast_to(jnp.arange(is_, dtype=jnp.float32)[None, None, :],
+                          (bs, is_, is_))
+    covered = fim >= 0
+
+    @jax.jit
+    def ref(ppx, ppy, alpha, ga, rgb, grgb):
+        outs = {}
+        for e, a in backward._EA:
+            X, Y = backward._edge_coords(ppx, ppy, e, a)
+            d0 = xi if a == 0 else yi
+            d1 = yi if a == 0 else xi
+            cr = backward._crossing(s_ref, X, Y, a, d0)
+            lim = backward._in_limit(s_ref, X, Y, d0, cr['direction'])
+            lo2 = jnp.maximum(jnp.minimum(cr['d1_in'], lim), 0.0)
+            hi2 = jnp.minimum(jnp.maximum(cr['d1_in'], lim), is_ - 1.0)
+            act_in = covered & cr['valid'] & (d1 >= lo2) & (d1 <= hi2)
+            a_out = backward._out_pixel_values(s_ref, alpha, a,
+                                               cr['d1_out'], d1, d0)
+            rgb_out = backward._out_pixel_values(s_ref, rgb, a,
+                                                 cr['d1_out'], d1, d0)
+            dg = (alpha - a_out) * ga + jnp.sum((rgb - rgb_out) * grgb, -1)
+            delta = d1 - cr['d1_cross']
+            c0, c1 = backward._dist_contrib(s_ref, dg, delta, X[0], X[1], d0)
+            outs[(e, a)] = (jnp.where(act_in, c0, 0.0),
+                            jnp.where(act_in, c1, 0.0))
+        return outs
+
+    r = ref(ppx, ppy, alpha, ga, rgb, grgb)
+    scale = max(float(jnp.abs(v).max()) for pair in r.values() for v in pair)
+    for a in (0, 1):
+        for e in range(3):
+            for k in range(2):
+                got = np.asarray(kout[a][2 * e + k])
+                want = np.asarray(r[(e, a)][k])
+                np.testing.assert_allclose(
+                    got, want, rtol=1e-5, atol=scale * 1e-6,
+                    err_msg=f'(e={e}, a={a}, c{k})')
+
+
+def test_insweep_kernel_silhouette_mode():
+    """return_rgb=False path (alpha-only dg)."""
+    is_ = 128
+    fc = _scene(is_)
+    s = RasterizeSettings(image_size=is_, return_rgb=False,
+                          return_alpha=True, return_depth=False,
+                          runtime_checks=False, grad_offset_radius=16)
+    fim, _ = jax.jit(
+        lambda f: forward_xla.forward_face_index_map(s, f))(fc)
+    face_w = jax.jit(forward_xla.gather_face_rows)(fc, fim)
+    ppx = geometry.to_pixel_coords(face_w[..., 0], is_)
+    ppy = geometry.to_pixel_coords(face_w[..., 1], is_)
+    alpha = (fim >= 0).astype(jnp.float32)
+    ga = jax.random.normal(jax.random.PRNGKey(0), alpha.shape)
+
+    interpret = jax.default_backend() != 'tpu'
+    outs = jax.jit(lambda *a: backward_pallas.insweep_channels(
+        s, 1, *a, interpret=interpret))(ppx, ppy, alpha, ga)
+    total = sum(float(jnp.abs(o).sum()) for o in outs)
+    assert np.isfinite(total) and total > 0
