@@ -25,16 +25,55 @@ from neural_renderer_tpu.rasterize import texture as tex
 _DUMMY = functools.partial(jnp.zeros, (1,), jnp.float32)
 
 
-def _select_forward(settings, faces):
-    """Pick the face-index-map backend (pallas on TPU when available).
+def _xla_forward_maps(settings, faces, textures, fuse_rgb):
+    """Forward maps via the XLA oracle + winner-row gathers."""
+    face_index_map, _ = forward_xla.forward_face_index_map(settings, faces)
+    face_w = forward_xla.gather_face_rows(faces, face_index_map)
+    weight_map, depth_map, _ = forward_xla.winner_attributes(
+        settings, faces, face_index_map, face_w, need_face_inv=False)
+    maps = dict(face_index_map=face_index_map, face_w=face_w,
+                weight_map=weight_map, depth_map=depth_map)
+    if fuse_rgb:
+        maps['rgb_raw'] = tex.sample_textures(
+            settings, faces, textures, face_index_map, face_w, weight_map,
+            depth_map)
+    return maps
+
+
+def _pallas_forward_maps(settings, faces, textures, fuse_rgb,
+                         prefix_counts=None):
+    from neural_renderer_tpu.rasterize import forward_pallas
+    out = forward_pallas.forward_shaded(
+        settings, faces, textures if fuse_rgb else None,
+        prefix_counts=prefix_counts)
+    xy = out['xy']
+    z = out['z']
+    face_w = jnp.stack(
+        [jnp.stack([xy[:, 2 * k], xy[:, 2 * k + 1], z[:, k]], axis=-1)
+         for k in range(3)], axis=-2)                  # [bs, is, is, 3, 3]
+    maps = dict(face_index_map=out['face_index_map'], face_w=face_w,
+                weight_map=out['weights'].transpose(0, 2, 3, 1),
+                depth_map=out['depth_map'])
+    if fuse_rgb:
+        maps['rgb_raw'] = out['rgb'].transpose(0, 2, 3, 1)
+    return maps
+
+
+def _forward_maps(settings, faces, textures):
+    """Uniform forward bundle (index map + winner attributes [+ raw rgb])
+    from the best available backend.
 
     With ``backend='auto'`` and no explicit ``faces_per_tile_cap``, the
     binned kernel's capacity test runs at RUN time and overflowing scenes
-    fall back to the capacity-free XLA forward via ``lax.cond`` — auto is
+    fall back to the capacity-free XLA path via ``lax.cond`` — auto is
     never silently wrong (an explicit cap means the user opted into the
     cap, and gets the runtime_checks warning instead)."""
+    # the kernel fuses the whole K4 texture lookup only for ts=2 cubes
+    # (texels ride the feature table); other sizes sample via XLA gathers
+    fuse_rgb = settings.return_rgb and textures.shape[2] == 2
+
     if settings.backend == 'xla':
-        return forward_xla.forward_face_index_map(settings, faces)
+        return _xla_forward_maps(settings, faces, textures, fuse_rgb)
     if settings.backend in ('pallas', 'auto'):
         try:
             from neural_renderer_tpu.rasterize import forward_pallas
@@ -51,18 +90,18 @@ def _select_forward(settings, faces):
                 fits = prefix_counts[1].max() <= capacity
                 return jax.lax.cond(
                     fits,
-                    lambda f, pc: forward_pallas.forward_face_index_map(
-                        settings, f, prefix_counts=pc),
-                    lambda f, pc: forward_xla.forward_face_index_map(
-                        settings, f),
-                    faces, prefix_counts)
-            return forward_pallas.forward_face_index_map(settings, faces)
+                    lambda f, t, pc: _pallas_forward_maps(
+                        settings, f, t, fuse_rgb, prefix_counts=pc),
+                    lambda f, t, pc: _xla_forward_maps(
+                        settings, f, t, fuse_rgb),
+                    faces, textures, prefix_counts)
+            return _pallas_forward_maps(settings, faces, textures, fuse_rgb)
         if settings.backend == 'pallas':
             raise ValueError('pallas backend requested but unsupported for '
                              f'this configuration (image_size='
                              f'{settings.image_size}, backend platform='
                              f'{jax.default_backend()})')
-    return forward_xla.forward_face_index_map(settings, faces)
+    return _xla_forward_maps(settings, faces, textures, fuse_rgb)
 
 
 def _forward_all(settings, faces, textures, background):
@@ -72,28 +111,32 @@ def _forward_all(settings, faces, textures, background):
     element, reference rasterize.py:462-465).
     Returns (rgb, alpha, depth, residuals).
     """
-    face_index_map, depth_scan = _select_forward(settings, faces)
+    maps = _forward_maps(settings, faces, textures)
+    face_index_map = maps['face_index_map']
+    face_w = maps['face_w']
+    weight_map = maps['weight_map']
+    depth_map = maps['depth_map']
     covered = face_index_map >= 0
-    # ONE per-pixel gather of the winner's vertex rows, shared by the
-    # winner-attribute recompute, texture sampling, and (via residuals) the
-    # whole backward — per-pixel gathers are the expensive op on TPU.
-    face_w = forward_xla.gather_face_rows(faces, face_index_map)
-    if settings.return_rgb or settings.return_depth:
-        # weights / depth / face_inv recomputed from the winner only when a
-        # mode needs them (texture sampling / depth output + K6/K7 grads);
-        # the alpha-only path needs just the index map.
-        weight_map, depth_map, face_inv_map = forward_xla.winner_attributes(
-            settings, faces, face_index_map, face_w,
-            need_face_inv=settings.return_depth)
+
+    if settings.return_depth:
+        # face_inv is pure elementwise recompute from the winner's rows
+        # (needed by K7 only)
+        is_ = settings.image_size
+        from neural_renderer_tpu.rasterize import geometry
+        finv = geometry.face_inv_matrix(
+            geometry.to_pixel_coords(face_w[..., 0], is_),
+            geometry.to_pixel_coords(face_w[..., 1], is_))
+        face_inv_map = jnp.where(covered[..., None, None], finv, 0.0)
     else:
-        weight_map = jnp.zeros((1,), jnp.float32)
-        depth_map = depth_scan
         face_inv_map = jnp.zeros((1,), jnp.float32)
 
     if settings.return_rgb:
-        rgb_map = tex.sample_textures(
-            settings, faces, textures, face_index_map, face_w, weight_map,
-            depth_map)
+        if 'rgb_raw' in maps:
+            rgb_map = maps['rgb_raw']
+        else:
+            rgb_map = tex.sample_textures(
+                settings, faces, textures, face_index_map, face_w,
+                weight_map, depth_map)
         # background composite (rasterize.py:451-465); part of the forward —
         # the backward reads the *composited* rgb map, like the reference.
         # background.ndim selects static [3] vs per-batch [bs, 3] colors.

@@ -62,10 +62,11 @@ def _warn_overflow(max_count, cap):
             'those patches.  Raise faces_per_tile_cap (or pass '
             "backend='xla', which has no capacity limits).")
 
-# transposed face-feature table layout (sublane axis):
+# transposed face-feature table layout (lane axis):
 # 0:x0 1:y0 2:x1 3:y1 4:x2 5:y2 (NDC xy), 6:z0 7:z1 8:z2,
-# 9..17: face_inv rows, 18: face id + 1 (0 = empty), 19..23: pad
-_NFEAT = 24
+# 9..17: face_inv rows, 18: face id + 1 (0 = empty),
+# 19..42: optional ts=2 texel values (cell-major, rgb minor)
+_NFEAT = 19
 _CHUNK = 128          # faces per streamed chunk (f32 lane width)
 _VMEM_TABLE_LIMIT = 8 * 1024 * 1024
 
@@ -140,8 +141,13 @@ def _membership_prefix(settings, faces):
     return pz.reshape(bs, t, t, 1, nf_pad), counts.reshape(-1)
 
 
-def _feature_table(settings, faces):
-    """Transposed per-face features [bs, _NFEAT, nf_pad] (see layout above)."""
+def _feature_table(settings, faces, textures=None):
+    """Transposed per-face features [bs, nfeat, nf_pad] (see layout above).
+
+    With ``textures`` (``[bs, nf, 2, 2, 2, 3]``), the 24 ts=2 texel values
+    ride along as extra feature lanes — free, because the 19 base features
+    already lane-pad to 128 in VMEM, and it lets the kernel emit the final
+    shaded rgb without any per-pixel texture gather."""
     bs, nf = faces.shape[:2]
     is_ = settings.image_size
     nf_pad = -(-nf // _CHUNK) * _CHUNK
@@ -155,13 +161,15 @@ def _feature_table(settings, faces):
     # gives w = (0,0,0) -> zp = 0/0 = nan -> same rejection, per face.
     finv = jnp.where(jnp.isfinite(finv), finv, 0.0)
     fid1 = (jnp.arange(nf, dtype=jnp.float32) + 1.0)[None, :, None]
-    feat = jnp.concatenate([
+    parts = [
         faces[..., 0, 0:2], faces[..., 1, 0:2], faces[..., 2, 0:2],
         faces[..., :, 2],                                    # z0 z1 z2
         finv.reshape(bs, nf, 9),
         jnp.broadcast_to(fid1, (bs, nf, 1)),
-        jnp.zeros((bs, nf, _NFEAT - 19), jnp.float32),
-    ], axis=-1)                                              # [bs, nf, 24]
+    ]
+    if textures is not None:
+        parts.append(textures.reshape(bs, nf, 24))
+    feat = jnp.concatenate(parts, axis=-1)       # [bs, nf, 19(+24)]
     # faces on sublanes, features on lanes: the kernel contracts the face
     # axis directly (dot_general ((0,), (1,))), no transposes anywhere.
     return jnp.pad(feat, ((0, 0), (0, nf_pad - nf), (0, 0)))
@@ -333,6 +341,253 @@ def forward_face_index_map(settings, faces, interpret=False,
                 .reshape(bs, is_, is_))
 
     return unpack(idx_p), unpack(depth_p)
+
+
+def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb,
+                   counts_ref, featT_ref, prefix_ref,
+                   idx_ref, depth_ref, w_ref, xy_ref, z_ref, rgb_ref,
+                   pos_ref, zmin_ref, flist_ref):
+    """Shader-style forward: z-buffer + winner attribute/texel emission.
+
+    Tracks the winner's patch-list POSITION across face chunks, appends
+    each streamed chunk's feature rows to a VMEM scratch list, and at the
+    last chunk fetches every pixel's winner attributes with one one-hot
+    MXU contraction per 128-pixel row — replacing the two 8.4M-index
+    winner-row gathers (face rows + texture cubes) of the XLA post-passes.
+    """
+    is_ = settings.image_size
+    b = pl.program_id(0)
+    iy = pl.program_id(1)
+    ix = pl.program_id(2)
+    k = pl.program_id(3)
+    nk = pl.num_programs(3)
+    ny = pl.num_programs(1)
+    nx = pl.num_programs(2)
+    eps = settings.eps
+    far = settings.far
+
+    @pl.when(k == 0)
+    def _init():
+        zmin_ref[...] = jnp.full((rows, _CHUNK), jnp.inf, jnp.float32)
+        pos_ref[...] = jnp.full((rows, _CHUNK), cap, jnp.int32)
+
+    count = counts_ref[(b * ny + iy) * nx + ix]
+
+    @pl.when(k * _CHUNK < count)
+    def _compute():
+        pz = prefix_ref[0, 0, 0]         # [1, nf_pad] int32
+
+        slot = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, nf_pad), 0)
+        onehot = (pz == (k * _CHUNK + 1 + slot)).astype(jnp.float32)
+
+        # features for this chunk's 128 faces, in BOTH orientations: f for
+        # the per-pixel math, fT appended to the patch's resident list
+        f = jax.lax.dot_general(
+            featT_ref[0], onehot, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)             # [nfeat, CHUNK]
+        fT = jax.lax.dot_general(
+            onehot, featT_ref[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)             # [CHUNK, nfeat]
+        flist_ref[pl.ds(k * _CHUNK, _CHUNK), :] = fT
+
+        sub = jax.lax.broadcasted_iota(jnp.int32, (rows, _CHUNK, 1), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _CHUNK, 1), 1)
+        flat = sub * _CHUNK + lane
+        yi = (flat // p + iy * p).astype(jnp.float32)
+        xi = (flat % p + ix * p).astype(jnp.float32)
+        yp = (2.0 * yi + 1.0 - is_) / is_
+        xp = (2.0 * xi + 1.0 - is_) / is_
+
+        def row(j):
+            return f[j][None, None, :]          # [1, 1, _CHUNK]
+
+        x0, y0, x1, y1, x2, y2 = (row(j) for j in range(6))
+        z0, z1, z2 = row(6), row(7), row(8)
+        idf = row(18)                           # face id + 1; 0 = empty
+
+        outside = (
+            ((yp - y0) * (x1 - x0) < (xp - x0) * (y1 - y0)) |
+            ((yp - y1) * (x2 - x1) < (xp - x1) * (y2 - y1)) |
+            ((yp - y2) * (x0 - x2) < (xp - x2) * (y0 - y2)))
+
+        w0 = jnp.clip(row(9) * xi + row(10) * yi + row(11), 0.0, 1.0)
+        w1 = jnp.clip(row(12) * xi + row(13) * yi + row(14), 0.0, 1.0)
+        w2 = jnp.clip(row(15) * xi + row(16) * yi + row(17), 0.0, 1.0)
+        wsum = w0 + w1 + w2
+        zp = wsum / (w0 / z0 + w1 / z1 + w2 / z2)
+
+        valid = (jnp.logical_not(outside)
+                 & (zp > settings.near) & (zp < settings.far)
+                 & (idf > 0))
+        zbuf = jnp.where(valid, zp, jnp.inf)
+
+        cmin = jnp.min(zbuf, axis=-1)
+        # winner = LOWEST slot among minima (== lowest face id; the list
+        # ascends), first-wins like the reference's sequential z test
+        slot2 = jax.lax.broadcasted_iota(jnp.int32, (rows, _CHUNK, _CHUNK),
+                                         2)
+        cslot = jnp.min(jnp.where(zbuf == cmin[..., None], slot2,
+                                  jnp.int32(_CHUNK)), axis=-1)
+
+        prev_d = zmin_ref[...]
+        prev_p = pos_ref[...]
+        better = cmin < prev_d
+        zmin_ref[...] = jnp.where(better, cmin, prev_d)
+        pos_ref[...] = jnp.where(better, k * _CHUNK + cslot, prev_p)
+
+    @pl.when(k == nk - 1)
+    def _finalize():
+        pos = pos_ref[...]                                   # [rows, CHUNK]
+        covered = jnp.isfinite(zmin_ref[...])
+        cap_iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
+        for r in range(rows):
+            pos_r = pos[r:r + 1, :]
+            oh = (cap_iota == pos_r).astype(jnp.float32)     # [cap, CHUNK]
+            at = jax.lax.dot_general(
+                flist_ref[...], oh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)         # [nfeat, CHUNK]
+            cov_r = covered[r:r + 1, :]
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, _CHUNK), 1)
+            flat = r * _CHUNK + lane
+            yi = (flat // p + iy * p).astype(jnp.float32)
+            xi = (flat % p + ix * p).astype(jnp.float32)
+
+            def arow(j):
+                return at[j:j + 1, :]                        # [1, CHUNK]
+
+            # weights / perspective depth exactly as
+            # forward_xla.winner_attributes (clamp -> renormalize -> zp)
+            w = [jnp.clip(arow(9 + 3 * j) * xi + arow(10 + 3 * j) * yi
+                          + arow(11 + 3 * j), 0.0, 1.0) for j in range(3)]
+            wsum = w[0] + w[1] + w[2]
+            w = [wi / wsum for wi in w]
+            zs = [arow(6), arow(7), arow(8)]
+            zp = 1.0 / (w[0] / zs[0] + w[1] / zs[1] + w[2] / zs[2])
+
+            idx_ref[0, 0, 0, r:r + 1, :] = jnp.where(
+                cov_r, at[18:19, :].astype(jnp.int32) - 1, -1)
+            depth_ref[0, 0, 0, r:r + 1, :] = jnp.where(cov_r, zp, far)
+            for j in range(3):
+                w_ref[0, 0, 0, r + j * rows:r + j * rows + 1, :] = jnp.where(
+                    cov_r, w[j], 0.0)
+                z_ref[0, 0, 0, r + j * rows:r + j * rows + 1, :] = \
+                    at[6 + j:7 + j, :]
+            for j in range(6):
+                xy_ref[0, 0, 0, r + j * rows:r + j * rows + 1, :] = \
+                    at[j:j + 1, :]
+
+            if with_rgb:
+                # K4 trilinear for ts=2 (reference rasterize.py:398-425):
+                # lo == 0, so the 8 corners are the whole cube with static
+                # cells; math order matches texture.sample_textures
+                tif = [jnp.minimum(jnp.maximum(
+                    w[j] * 1.0 * (zp / zs[j]), 0.0), 1.0 - eps)
+                    for j in range(3)]
+                rgb = [jnp.zeros((1, _CHUNK), jnp.float32) for _ in range(3)]
+                for pn in range(8):
+                    cw = 1.0
+                    isc = 0
+                    scale = (4, 2, 1)
+                    for j in range(3):
+                        bit = (pn >> j) & 1
+                        cw = cw * (tif[j] if bit else (1.0 - tif[j]))
+                        isc += bit * scale[j]
+                    for c in range(3):
+                        rgb[c] = rgb[c] + cw * arow(19 + isc * 3 + c)
+                for c in range(3):
+                    rgb_ref[0, 0, 0, r + c * rows:r + c * rows + 1, :] = \
+                        jnp.where(cov_r, rgb[c], 0.0)
+
+
+def forward_shaded(settings, faces, textures=None, interpret=False,
+                   prefix_counts=None):
+    """Full shader-pass forward.
+
+    Returns dict with face_index_map [bs,is,is] int32, depth_map, weights
+    [bs,3,is,is], xy [bs,6,is,is] (NDC x0 y0 x1 y1 x2 y2 of each pixel's
+    face), z [bs,3,is,is], and rgb [bs,3,is,is] (uncomposited; zeros where
+    uncovered) when ``textures`` (ts=2) is given."""
+    bs, nf = faces.shape[:2]
+    is_ = settings.image_size
+    p = _patch_dim(settings)
+    t = is_ // p
+    rows = (p * p) // _CHUNK
+    nf_pad = -(-nf // _CHUNK) * _CHUNK
+    cap = chunk_capacity(settings, nf)
+    k_chunks = cap // _CHUNK
+    with_rgb = textures is not None
+    nfeat = 19 + (24 if with_rgb else 0)
+
+    prefix, counts = (prefix_counts if prefix_counts is not None
+                      else _membership_prefix(settings, faces))
+    if settings.runtime_checks and prefix_counts is None:
+        checks.maybe_callback(_warn_overflow, counts.max(), jnp.int32(cap))
+    counts = jnp.minimum(counts, cap)
+    featT = _feature_table(settings, faces, textures)
+
+    kernel = functools.partial(_shaded_kernel, settings, p, rows, nf_pad,
+                               cap, nfeat, with_rgb)
+
+    def out_spec(nplanes):
+        return pl.BlockSpec((1, 1, 1, nplanes * rows, _CHUNK),
+                            lambda b, i, j, k, counts: (b, i, j, 0, 0))
+
+    out_specs = [out_spec(1), out_spec(1), out_spec(3), out_spec(6),
+                 out_spec(3), out_spec(3 if with_rgb else 1)]
+    out_shape = [
+        jax.ShapeDtypeStruct((bs, t, t, rows, _CHUNK), jnp.int32),
+        jax.ShapeDtypeStruct((bs, t, t, rows, _CHUNK), jnp.float32),
+        jax.ShapeDtypeStruct((bs, t, t, 3 * rows, _CHUNK), jnp.float32),
+        jax.ShapeDtypeStruct((bs, t, t, 6 * rows, _CHUNK), jnp.float32),
+        jax.ShapeDtypeStruct((bs, t, t, 3 * rows, _CHUNK), jnp.float32),
+        jax.ShapeDtypeStruct(
+            (bs, t, t, (3 if with_rgb else 1) * rows, _CHUNK), jnp.float32),
+    ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bs, t, t, k_chunks),
+        in_specs=[
+            pl.BlockSpec((1, nf_pad, nfeat),
+                         lambda b, i, j, k, counts: (b, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 1, nf_pad),
+                         lambda b, i, j, k, counts: (b, i, j, 0, 0)),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((rows, _CHUNK), jnp.int32),     # winner position
+            pltpu.VMEM((rows, _CHUNK), jnp.float32),   # running min z
+            pltpu.VMEM((cap, nfeat), jnp.float32),     # patch feature list
+        ],
+    )
+    idx_p, depth_p, w_p, xy_p, z_p, rgb_p = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(counts, featT, prefix)
+
+    def unpack(x, nplanes):
+        # [bs, t, t, nplanes*rows, 128]: plane j occupies sublane rows
+        # [j*rows, (j+1)*rows); each plane's rows*128 pixels are the patch's
+        # p*p block in row-major order
+        x = x.reshape(bs, t, t, nplanes, p, p)
+        return x.transpose(0, 3, 1, 4, 2, 5).reshape(bs, nplanes, is_, is_)
+
+    out = dict(
+        face_index_map=unpack(idx_p, 1)[:, 0],
+        depth_map=unpack(depth_p, 1)[:, 0],
+        weights=unpack(w_p, 3),
+        xy=unpack(xy_p, 6),
+        z=unpack(z_p, 3),
+    )
+    if with_rgb:
+        out['rgb'] = unpack(rgb_p, 3)
+    return out
 
 
 def binning_overflow(settings, faces):
