@@ -526,16 +526,24 @@ def _out_sweep_compact(settings, a, masks, fidx, nf, ppx, ppy,
     lo = jnp.maximum(jnp.minimum(cr['d1_out'], d1_limit), 0.0)
     hi = jnp.minimum(jnp.maximum(cr['d1_out'], d1_limit), is_ - 1.0)
 
-    # sweep lines: record r's own column (a=0) / row (a=1)
+    # sweep lines: record r's own column (a=0) / row (a=1).  The own-value
+    # terms are pre-contracted with the grads per pixel (S1 = a*ga +
+    # sum_c rgb_c*grgb_c), so each record's sweep fetches 5 line channels
+    # (S1, ga, grgb*3) instead of 8 and does ~3 fewer ops per position:
+    # dg(r, q') = S1(q') - a_in(r)*ga(q') - sum_c rgb_in_c(r)*grgb_c(q').
+    s1_map = jnp.zeros_like(alpha_map)
+    if settings.return_alpha:
+        s1_map = s1_map + alpha_map * grad_alpha_map
+    if settings.return_rgb:
+        s1_map = s1_map + jnp.sum(rgb_map * grad_rgb_map, axis=-1)
     if a == 0:
-        line_a = alpha_map.transpose(0, 2, 1)
+        line_s1 = s1_map.transpose(0, 2, 1)
         line_ga = grad_alpha_map.transpose(0, 2, 1)
-        line_rgb = rgb_map.transpose(0, 2, 1, 3)
         line_grgb = grad_rgb_map.transpose(0, 2, 1, 3)
         line_id = xi_r
     else:
-        line_a, line_ga = alpha_map, grad_alpha_map
-        line_rgb, line_grgb = rgb_map, grad_rgb_map
+        line_s1, line_ga = s1_map, grad_alpha_map
+        line_grgb = grad_rgb_map
         line_id = yi_r
 
     d1s = jnp.arange(is_, dtype=jnp.float32)
@@ -556,16 +564,13 @@ def _out_sweep_compact(settings, a, masks, fidx, nf, ppx, ppy,
     def chunk_fn(args):
         (v_c, lid_c, d1c_c, lo_c, hi_c, X0_c, X1_c, d0_c,
          a_in_c, rgb_in_c) = args
-        lsa = _take_rows(line_a, lid_c)                      # [bs, rc, is]
-        lsga = _take_rows(line_ga, lid_c)
-        dg = jnp.zeros((bs, rc, is_), jnp.float32)
+        dg = _take_rows(line_s1, lid_c)                      # [bs, rc, is]
         if settings.return_alpha:
-            dg = dg + (lsa - a_in_c[..., None]) * lsga
+            lsga = _take_rows(line_ga, lid_c)
+            dg = dg - a_in_c[..., None] * lsga
         if settings.return_rgb:
-            lsrgb = _take_rows(line_rgb, lid_c)
             lsgrgb = _take_rows(line_grgb, lid_c)
-            dg = dg + jnp.sum(
-                (lsrgb - rgb_in_c[..., None, :]) * lsgrgb, axis=-1)
+            dg = dg - jnp.sum(rgb_in_c[..., None, :] * lsgrgb, axis=-1)
         in_range = ((d1s >= lo_c[..., None]) & (d1s <= hi_c[..., None])
                     & (v_c[..., None] > 0))
         dg = jnp.where(in_range, dg, 0.0)
