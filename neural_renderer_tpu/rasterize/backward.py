@@ -296,7 +296,7 @@ def pixel_map_channels(settings, faces, face_index_map, face_w, rgb_map,
 
         if kernel_in is not None:
             c0, c1 = kernel_in[(e, a)]
-            if settings.runtime_checks:
+            if settings.runtime_checks and checks.callbacks_enabled():
                 lim = _in_limit(settings, X, Y, d0, cr['direction'])
                 lo2 = jnp.maximum(jnp.minimum(cr['d1_in'], lim), 0.0)
                 hi2 = jnp.minimum(jnp.maximum(cr['d1_in'], lim), is_ - 1.0)
@@ -311,7 +311,8 @@ def pixel_map_channels(settings, faces, face_index_map, face_w, rgb_map,
             act_in = covered & cr['valid'] & (d1 >= lo2) & (d1 <= hi2)
 
             if (settings.grad_offset_radius is not None
-                    and settings.runtime_checks):
+                    and settings.runtime_checks
+                    and checks.callbacks_enabled()):
                 worst_offset = jnp.maximum(worst_offset, jnp.max(jnp.where(
                     act_in, jnp.abs(cr['d1_out'] - d1), 0.0)))
 

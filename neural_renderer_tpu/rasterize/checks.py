@@ -43,7 +43,15 @@ def _callbacks_supported(backend_name):
         return False
 
 
+def callbacks_enabled():
+    """True when the active backend can deliver host callbacks.  Callers
+    computing nontrivial check VALUES should gate the arithmetic on this
+    too — otherwise platforms without callbacks pay for checks that can
+    never fire."""
+    return _callbacks_supported(jax.default_backend())
+
+
 def maybe_callback(fn, *args):
     """jax.debug.callback(fn, *args) where the platform supports it."""
-    if _callbacks_supported(jax.default_backend()):
+    if callbacks_enabled():
         jax.debug.callback(fn, *args)

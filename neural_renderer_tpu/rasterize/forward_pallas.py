@@ -568,6 +568,11 @@ def forward_shaded(settings, faces, textures=None, interpret=False,
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
+        # the default 16MB scoped-vmem budget is borderline for the
+        # feature table (double-buffered) + the [rows, 128, 128] z-test
+        # intermediates; v5e has far more physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(counts, featT, prefix)
 
