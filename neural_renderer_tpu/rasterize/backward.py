@@ -51,6 +51,15 @@ def _warn_out_cap(count, cap):
             '(dense, exact).')
 
 
+def _warn_row_cap(worst, cap):
+    if int(worst) > int(cap):
+        warnings.warn(
+            f'rasterizer backward: a row/column hosts {int(worst)} active '
+            f'out-sweep crossings but grad_row_cap={int(cap)} — overflow '
+            'records are DROPPED and vertex gradients are wrong.  Raise '
+            'grad_row_cap (validate with count_out_crossings(per_row=True)).')
+
+
 def _warn_offset_radius(worst, radius):
     if float(worst) > float(radius):
         warnings.warn(
@@ -275,28 +284,43 @@ def pixel_map_channels(settings, faces, face_index_map, face_w, rgb_map,
     # copies per (edge, axis).  Note kernel c0/c1 require the same
     # alpha+rgb dg as this XLA path, so it only runs for the standard
     # mode combinations.
+    from neural_renderer_tpu.rasterize import backward_pallas
+
     kernel_in = None
-    if settings.grad_offset_radius is not None:
-        from neural_renderer_tpu.rasterize import backward_pallas
-        if backward_pallas.supported(settings):
-            kernel_in = {}
-            for a in (0, 1):
-                six = backward_pallas.insweep_channels(
-                    settings, a, ppx, ppy, alpha_map, grad_alpha_map,
-                    rgb_map if settings.return_rgb else None,
-                    grad_rgb_map if settings.return_rgb else None)
-                for e in range(3):
-                    kernel_in[(e, a)] = (six[2 * e], six[2 * e + 1])
+    if (settings.grad_offset_radius is not None
+            and backward_pallas.supported(settings)):
+        kernel_in = {}
+        for a in (0, 1):
+            six = backward_pallas.insweep_channels(
+                settings, a, ppx, ppy, alpha_map, grad_alpha_map,
+                rgb_map if settings.return_rgb else None,
+                grad_rgb_map if settings.return_rgb else None)
+            for e in range(3):
+                kernel_in[(e, a)] = (six[2 * e], six[2 * e + 1])
+
+    # Out-sweep Pallas kernel: fuses discovery, per-row record compaction,
+    # and the border sweep — replaces the XLA mask compaction + chunked
+    # sweeps entirely when the shape allows.
+    use_out_kernel = (settings.grad_out_cap is not None
+                      and backward_pallas.supported_outsweep(settings))
+    need_checks = settings.runtime_checks and checks.callbacks_enabled()
+    row_overflow = jnp.int32(0)
 
     for e, a in _EA:
-        X, Y = _edge_coords(ppx, ppy, e, a)
-        d0 = xi if a == 0 else yi
-        d1 = yi if a == 0 else xi
-        cr = _crossing(settings, X, Y, a, d0)
+        # the loop's own crossing math is only needed for the paths that
+        # stay in XLA (dense out-sweep, mask compaction) or for runtime
+        # capacity checks — both kernels rederive it in VMEM
+        need_cr = (kernel_in is None or not use_out_kernel or need_checks
+                   or settings.grad_out_cap is None)
+        if need_cr:
+            X, Y = _edge_coords(ppx, ppy, e, a)
+            d0 = xi if a == 0 else yi
+            d1 = yi if a == 0 else xi
+            cr = _crossing(settings, X, Y, a, d0)
 
         if kernel_in is not None:
             c0, c1 = kernel_in[(e, a)]
-            if settings.runtime_checks and checks.callbacks_enabled():
+            if need_checks:
                 lim = _in_limit(settings, X, Y, d0, cr['direction'])
                 lo2 = jnp.maximum(jnp.minimum(cr['d1_in'], lim), 0.0)
                 hi2 = jnp.minimum(jnp.maximum(cr['d1_in'], lim), is_ - 1.0)
@@ -336,25 +360,49 @@ def pixel_map_channels(settings, faces, face_index_map, face_w, rgb_map,
 
         # ---------------- out-sweep ---------------------------------------
         # r is the in-pixel of its own face's crossing iff d1_in == r.d1.
-        act_out = covered & cr['valid'] & (cr['d1_in'] == d1)
         if settings.grad_out_cap is None:
+            act_out = covered & cr['valid'] & (cr['d1_in'] == d1)
             o0, o1 = _out_sweep(settings, a, act_out, cr, X, d0, alpha_map,
                                 rgb_map, grad_rgb_map, grad_alpha_map)
             c0 = c0 + o0
             c1 = c1 + o1
+        elif use_out_kernel:
+            if need_checks:
+                act_out = covered & cr['valid'] & (cr['d1_in'] == d1)
+                row_overflow = jnp.maximum(row_overflow, jnp.max(
+                    act_out.sum(axis=2 if a == 0 else 1, dtype=jnp.int32)))
         else:
+            act_out = covered & cr['valid'] & (cr['d1_in'] == d1)
             act_out_masks[(e, a)] = act_out
 
         contribs.append((c0, c1))
 
-    if settings.grad_offset_radius is not None and settings.runtime_checks:
+    if settings.grad_offset_radius is not None and need_checks:
         checks.maybe_callback(_warn_offset_radius, worst_offset,
                               jnp.float32(settings.grad_offset_radius))
 
-    stacked = jnp.stack([c for pair in contribs for c in pair], axis=-1)
-
     extra = None
-    if settings.grad_out_cap is not None:
+    if use_out_kernel:
+        s1_map = jnp.zeros_like(alpha_map)
+        if settings.return_alpha:
+            s1_map = s1_map + alpha_map * grad_alpha_map
+        if settings.return_rgb:
+            s1_map = s1_map + jnp.sum(rgb_map * grad_rgb_map, axis=-1)
+        if need_checks:
+            checks.maybe_callback(_warn_row_cap, row_overflow,
+                                  jnp.int32(settings.grad_row_cap))
+        from neural_renderer_tpu.rasterize import backward_pallas
+        for a in (0, 1):
+            six = backward_pallas.outsweep_channels(
+                settings, a, ppx, ppy, alpha_map, s1_map, grad_alpha_map,
+                grad_rgb_map if settings.return_rgb else None,
+                rgb_map if settings.return_rgb else None,
+                row_cap=settings.grad_row_cap)
+            for e in range(3):
+                idx = _EA.index((e, a))
+                c0, c1 = contribs[idx]
+                contribs[idx] = (c0 + six[2 * e], c1 + six[2 * e + 1])
+    elif settings.grad_out_cap is not None:
         extra = jnp.zeros((bs, nf, 3, 3), jnp.float32)
         for a in (0, 1):
             masks = jnp.stack([act_out_masks[(e, a)] for e in range(3)],
@@ -362,6 +410,8 @@ def pixel_map_channels(settings, faces, face_index_map, face_w, rgb_map,
             extra = extra + _out_sweep_compact(
                 settings, a, masks, fidx, nf, ppx, ppy,
                 alpha_map, rgb_map, grad_rgb_map, grad_alpha_map)
+
+    stacked = jnp.stack([c for pair in contribs for c in pair], axis=-1)
     return stacked, extra
 
 

@@ -42,6 +42,13 @@ def supported(settings):
     return is_ % _LANE == 0 and is_ % 8 == 0
 
 
+def supported_outsweep(settings):
+    if jax.default_backend() != 'tpu':
+        return False
+    is_ = settings.image_size
+    return is_ % _LANE == 0 and is_ % 8 == 0
+
+
 def _rows_per_block(is_):
     # small blocks: the unrolled 3-edge roll chain keeps a few hundred
     # [rows, is] temporaries live on Mosaic's VMEM stack
@@ -160,6 +167,257 @@ def _kernel(settings, dir_lt, radius, rows, is_,
                                    one(X1 - X0, X1 - d0), 0.0)
         outs[2 * e + 1][0] = jnp.where(act_in & gate & (X0 != d0),
                                        one(X1 - X0, d0 - X0), 0.0)
+
+
+_KS = 64            # out-sweep record slots per chunk
+
+
+def _lane_prefix(x, is_):
+    """Inclusive prefix sum along lanes (Hillis-Steele log-shifts)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    sh = 1
+    while sh < is_:
+        x = x + jnp.where(lane >= sh, jnp.roll(x, sh, axis=-1), 0)
+        sh *= 2
+    return x
+
+
+def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
+                     *refs):
+    """Out-sweep (reference rasterize.py:603-659): discovery, per-row
+    record compaction, and the border sweep — one fused pass.
+
+    Grid (bs, is/rows, kc).  Chunk 0 rasterizes the crossing math for all
+    3 edges, ranks each row's active crossings with a lane prefix sum, and
+    caches per-pixel record attributes in VMEM scratch; every chunk then
+    extracts its 64 records per row with a one-hot MXU contraction and
+    sweeps them against the full row.  Rows with fewer records skip whole
+    chunks via an SMEM count.
+
+    The crossing pixel r is covered by construction, so a_in == 1 exactly
+    and dg(r, q') = S1(q') - ga(q') - sum_c rgb_in_c(r) * grgb_c(q').
+    """
+    eps = settings.eps
+    nin = 9 + (6 if with_rgb else 0)
+    (xs_refs, ys_refs) = (refs[0:3], refs[3:6])
+    alpha_ref, s1_ref, ga_ref = refs[6:9]
+    grgb_refs = refs[9:12] if with_rgb else ()
+    rgb_refs = refs[12:15] if with_rgb else ()
+    out_ref = refs[nin]
+    cnt_ref, rank_ref, attr_ref = refs[nin + 1:nin + 4]
+
+    na = 10 + (3 if with_rgb else 0)   # attrs per edge (rgb shared rows)
+    c = pl.program_id(2)
+    i = pl.program_id(1)
+
+    d0 = (i * rows
+          + jax.lax.broadcasted_iota(jnp.int32, (rows, is_), 0)
+          ).astype(jnp.float32)
+    d1i = jax.lax.broadcasted_iota(jnp.int32, (rows, is_), 1)
+    d1 = d1i.astype(jnp.float32)
+
+    @pl.when(c == 0)
+    def _discover():
+        av = alpha_ref[0]
+        covered = av >= 0.5
+        xs = [r[0] for r in xs_refs]
+        ys = [r[0] for r in ys_refs]
+
+        counts = []
+        ranks = []
+        for e in range(3):
+            pi = [(e + k) % 3 for k in range(3)]
+            X0, X1, X2 = (xs[p] for p in pi)
+            Y0, Y1, _ = (ys[p] for p in pi)
+            direction = jnp.where(X0 < X1, jnp.float32(dir_lt),
+                                  jnp.float32(-dir_lt))
+            d0_from = jnp.maximum(jnp.ceil(jnp.minimum(X0, X1)), 0.0)
+            d0_to = jnp.trunc(jnp.minimum(jnp.maximum(X0, X1), is_ - 1.0))
+            in_extent = (d0 >= d0_from) & (d0 <= d0_to)
+            d1_cross = (Y1 - Y0) / (X1 - X0) * (d0 - X0) + Y0
+            d1_in = jnp.where(direction > 0, jnp.floor(d1_cross),
+                              jnp.ceil(d1_cross))
+            d1_out = d1_in + direction
+            valid = (in_extent
+                     & (d1_in >= 0) & (d1_in <= is_ - 1)
+                     & (d1_out >= 0) & (d1_out <= is_ - 1))
+            act = covered & valid & (d1_in == d1)
+
+            d1_limit = jnp.where(direction > 0, float(is_ - 1), 0.0)
+            lo = jnp.maximum(jnp.minimum(d1_out, d1_limit), 0.0)
+            hi = jnp.minimum(jnp.maximum(d1_out, d1_limit), is_ - 1.0)
+            k0 = (X1 - X0) / (X1 - d0) * (2.0 / is_)
+            k1 = (X1 - X0) / (d0 - X0) * (2.0 / is_)
+            g0 = ((X1 != d0) & act).astype(jnp.float32)
+            g1 = ((X0 != d0) & act).astype(jnp.float32)
+
+            # attrs are fetched with a one-hot MXU dot, where nan * 0 = nan
+            # poisons every slot — inactive pixels' values (nan/inf from
+            # the crossing divisions on uncovered pixels) MUST be zeroed
+            base = e * 7 * rows
+            attr_ref[pl.ds(base + 0 * rows, rows), :] = \
+                jnp.where(act, 1.0, 0.0)
+            attr_ref[pl.ds(base + 1 * rows, rows), :] = \
+                jnp.where(act, d1_cross, 0.0)
+            attr_ref[pl.ds(base + 2 * rows, rows), :] = \
+                jnp.where(act, lo, 0.0)
+            attr_ref[pl.ds(base + 3 * rows, rows), :] = \
+                jnp.where(act, hi, 0.0)
+            attr_ref[pl.ds(base + 4 * rows, rows), :] = jnp.where(
+                (g0 > 0) & jnp.isfinite(k0), k0, 0.0)
+            attr_ref[pl.ds(base + 5 * rows, rows), :] = jnp.where(
+                (g1 > 0) & jnp.isfinite(k1), k1, 0.0)
+            attr_ref[pl.ds(base + 6 * rows, rows), :] = g1  # g0 via k0!=0
+
+            prefix = _lane_prefix(act.astype(jnp.int32), is_)
+            counts.append(jnp.max(prefix, axis=1, keepdims=True))
+            ranks.append((act, prefix))
+
+        off = [jnp.zeros_like(counts[0]), counts[0], counts[0] + counts[1]]
+        for e in range(3):
+            act, prefix = ranks[e]
+            rank = jnp.where(act, off[e] + prefix - 1, jnp.int32(2 ** 30))
+            rank_ref[pl.ds(e * rows, rows), :] = rank
+        total = counts[0] + counts[1] + counts[2]
+        cnt_ref[0] = jnp.max(total)
+
+        zero = jnp.zeros((rows, is_), jnp.float32)
+        for j in range(6):
+            out_ref[0, pl.ds(j * rows, rows), :] = zero
+
+    @pl.when(c * _KS < cnt_ref[0])
+    def _sweep():
+        s1_all = s1_ref[0]
+        ga_all = ga_ref[0]
+        qi = jax.lax.broadcasted_iota(jnp.int32, (1, is_), 1)
+        qf = qi.astype(jnp.float32)
+        slot_iota = jax.lax.broadcasted_iota(jnp.int32, (_KS, 1), 0)
+
+        for r in range(rows):
+            rank3 = jnp.concatenate(
+                [rank_ref[e * rows + r:e * rows + r + 1, :]
+                 for e in range(3)], axis=1)                 # [1, 3*is]
+            oh = (rank3 == c * _KS + slot_iota).astype(jnp.float32)
+
+            def att(j):
+                return jnp.concatenate(
+                    [attr_ref[e * 7 * rows + j * rows + r:
+                              e * 7 * rows + j * rows + r + 1, :]
+                     for e in range(3)], axis=1)             # [1, 3*is]
+
+            lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * is_), 1)
+            xpos = (lane3 % is_).astype(jnp.float32)
+            eid = (lane3 // is_).astype(jnp.float32)
+            arows = [att(0), att(1), att(2), att(3), att(4), att(5),
+                     att(6), xpos, eid]
+            if with_rgb:
+                for cch in range(3):
+                    rrow = rgb_refs[cch][0][r:r + 1, :]
+                    arows.append(jnp.concatenate([rrow] * 3, axis=1))
+            attrs = jnp.concatenate(arows, axis=0)           # [na-1, 3*is]
+
+            rec = jax.lax.dot_general(
+                oh, attrs, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)         # [_KS, na-1]
+
+            def col(j):
+                return rec[:, j:j + 1]                       # [_KS, 1]
+
+            vflag, d1c, lo, hi, k0, k1, g1 = (col(j) for j in range(7))
+            xr, er = col(7), col(8)
+
+            s1_row = s1_all[r:r + 1, :]
+            # a_in == 1 exactly at crossings, so the alpha term of
+            # dg = (a(q') - a_in) * ga(q') is s1's alpha part minus ga
+            dg = (s1_row - ga_all[r:r + 1, :] if settings.return_alpha
+                  else s1_row)
+            if with_rgb:
+                for cch in range(3):
+                    dg = dg - col(9 + cch) * grgb_refs[cch][0][r:r + 1, :]
+
+            in_range = ((qf >= lo) & (qf <= hi) & (vflag > 0)
+                        & (dg > 0))
+            delta = qf - d1c
+
+            def contrib(kk, gg):
+                dist = kk * delta
+                dist = jnp.where(dist > 0, dist + eps, dist - eps)
+                return jnp.where(in_range & gg, -dg / dist, 0.0)
+
+            c0 = jnp.sum(contrib(k0, k0 != 0), axis=1, keepdims=True)
+            c1 = jnp.sum(contrib(k1, g1 > 0), axis=1, keepdims=True)
+
+            ohx = (qi == xr.astype(jnp.int32)).astype(jnp.float32)
+            for e in range(3):
+                esel = (er == e).astype(jnp.float32)
+                for k, cv in ((0, c0), (1, c1)):
+                    j = 2 * e + k
+                    row_add = jax.lax.dot_general(
+                        cv * esel, ohx, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # [1, is]
+                    out_ref[0, j * rows + r:j * rows + r + 1, :] = \
+                        out_ref[0, j * rows + r:j * rows + r + 1, :] + row_add
+
+
+def outsweep_channels(settings, a, ppx, ppy, alpha_map, s1_map,
+                      grad_alpha_map, grad_rgb_map=None, rgb_map=None,
+                      row_cap=256, interpret=False):
+    """Out-sweep contribution channels for one walk axis, written at each
+    crossing's in-pixel (same attribution as the dense path).
+
+    Returns 6 maps [bs, is, is]: (c0, c1) per edge.  Exact iff every row's
+    (column's, for a=0) active crossing count <= row_cap — validate with
+    ``backward.count_out_crossings(..., per_row=True)``."""
+    is_ = settings.image_size
+    bs = alpha_map.shape[0]
+    rows = 8
+    with_rgb = settings.return_rgb
+    kc = -(-row_cap // _KS)
+
+    def tr(m):
+        return m.transpose(0, 2, 1) if a == 0 else m
+
+    if a == 0:
+        xs = [tr(ppx[..., k]) for k in range(3)]
+        ys = [tr(ppy[..., k]) for k in range(3)]
+        dir_lt = -1.0
+    else:
+        xs = [ppy[..., k] for k in range(3)]
+        ys = [ppx[..., k] for k in range(3)]
+        dir_lt = 1.0
+
+    inputs = xs + ys + [tr(alpha_map), tr(s1_map), tr(grad_alpha_map)]
+    if with_rgb:
+        inputs += [tr(grad_rgb_map[..., c]) for c in range(3)]
+        inputs += [tr(rgb_map[..., c]) for c in range(3)]
+
+    kernel = functools.partial(_outsweep_kernel, settings, dir_lt, rows,
+                               is_, with_rgb, kc)
+    spec = pl.BlockSpec((1, rows, is_), lambda b, i, c: (b, i, 0))
+    out_spec = pl.BlockSpec((1, 6 * rows, is_), lambda b, i, c: (b, i, 0))
+    from jax.experimental.pallas import tpu as pltpu
+    out = pl.pallas_call(
+        kernel,
+        grid=(bs, is_ // rows, kc),
+        in_specs=[spec] * len(inputs),
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((bs, 6 * rows * (is_ // rows), is_),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((3 * rows, is_), jnp.int32),
+            pltpu.VMEM((3 * 7 * rows, is_), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(*inputs)
+    # out rows: block i holds planes [6, rows] at sublanes [i*6*rows ...]
+    out = out.reshape(bs, is_ // rows, 6, rows, is_)
+    out = out.transpose(2, 0, 1, 3, 4).reshape(6, bs, is_, is_)
+    return [tr(out[j]) for j in range(6)]
 
 
 def insweep_channels(settings, a, ppx, ppy, alpha_map, grad_alpha_map,

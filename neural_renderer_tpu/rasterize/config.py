@@ -53,6 +53,11 @@ class RasterizeSettings:
     grad_out_cap: Optional[int] = None
     # Backward: pixel-chunk size for the dense out-sweep scan.
     grad_pixel_chunk: int = 65536
+    # Backward (K5) out-sweep Pallas kernel (used when grad_out_cap is set
+    # and the kernel supports the shape): max active crossings per image
+    # row (column for the vertical axis).  Exact iff every row is under
+    # the cap — validate with count_out_crossings(per_row=True).
+    grad_row_cap: int = 256
     # Backward (K5): when set, in-sweep out-pixel values are fetched with a
     # fused (2R+1)-way shifted select instead of per-pixel random gathers
     # (~40ns/index on TPU).  Exact iff every active crossing's out-pixel is

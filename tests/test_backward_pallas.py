@@ -101,6 +101,40 @@ def test_insweep_kernel_matches_xla():
                     err_msg=f'(e={e}, a={a}, c{k})')
 
 
+def test_outsweep_kernel_matches_compact():
+    """Out-sweep kernel (discovery + per-row compaction + sweep) vs the
+    XLA compacted path, full gradient comparison on the teapot."""
+    is_ = 128
+    fc = _scene(is_)
+    s_kernel = RasterizeSettings(
+        image_size=is_, return_rgb=False, return_alpha=True,
+        return_depth=False, runtime_checks=False, grad_out_cap=8192,
+        grad_row_cap=128)
+    fim, _ = jax.jit(
+        lambda f: forward_xla.forward_face_index_map(s_kernel, f))(fc)
+    face_w = jax.jit(forward_xla.gather_face_rows)(fc, fim)
+    alpha = (fim >= 0).astype(jnp.float32)
+    rgbm = jnp.zeros(alpha.shape + (3,))
+    ga = jax.random.normal(jax.random.PRNGKey(3), alpha.shape)
+    grgb = jnp.zeros_like(rgbm)
+
+    def grad_with(s):
+        return jax.jit(lambda: backward.grad_faces_pixel_map(
+            s, fc, fim, face_w, rgbm, alpha, grgb, ga))()
+
+    g_kernel = np.asarray(grad_with(s_kernel))
+    if jax.default_backend() != 'tpu':
+        return  # kernel unsupported; grad_with already ran the XLA path
+    # force the XLA compact path by an unsupported-for-kernel config?
+    # instead compare against the dense/exact path
+    s_dense = dataclasses.replace(s_kernel, grad_out_cap=None)
+    g_dense = np.asarray(grad_with(s_dense))
+    scale = np.abs(g_dense).max() + 1e-9
+    np.testing.assert_allclose(g_kernel, g_dense, rtol=1e-4,
+                               atol=scale * 1e-5)
+    assert np.abs(g_dense).max() > 0
+
+
 def test_insweep_kernel_silhouette_mode():
     """return_rgb=False path (alpha-only dg)."""
     is_ = 128
