@@ -33,6 +33,12 @@ from jax.experimental import pallas as pl
 _LANE = 128
 
 
+def _out_struct(shape, dtype, like):
+    """vma-annotated out shape: composes with jax.shard_map (check_vma)."""
+    vma = getattr(jax.typeof(like), 'vma', None)
+    return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+
+
 def supported(settings):
     if jax.default_backend() != 'tpu':
         return False
@@ -403,8 +409,8 @@ def outsweep_channels(settings, a, ppx, ppy, alpha_map, s1_map,
         grid=(bs, is_ // rows, kc),
         in_specs=[spec] * len(inputs),
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((bs, 6 * rows * (is_ // rows), is_),
-                                       jnp.float32),
+        out_shape=_out_struct((bs, 6 * rows * (is_ // rows), is_),
+                              jnp.float32, alpha_map),
         scratch_shapes=[
             pltpu.SMEM((1,), jnp.int32),
             pltpu.VMEM((3 * rows, is_), jnp.int32),
@@ -459,7 +465,8 @@ def insweep_channels(settings, a, ppx, ppy, alpha_map, grad_alpha_map,
         grid=(bs, is_ // rows),
         in_specs=[spec] * len(inputs),
         out_specs=[spec] * 6,
-        out_shape=[jax.ShapeDtypeStruct((bs, is_, is_), jnp.float32)] * 6,
+        out_shape=[_out_struct((bs, is_, is_), jnp.float32,
+                               alpha_map)] * 6,
         interpret=interpret,
     )(*inputs)
     return [tr(o) for o in outs]

@@ -71,6 +71,15 @@ _CHUNK = 128          # faces per streamed chunk (f32 lane width)
 _VMEM_TABLE_LIMIT = 8 * 1024 * 1024
 
 
+def _out_struct(shape, dtype, like):
+    """ShapeDtypeStruct carrying the input's varying-manual-axes so the
+    kernels compose with jax.shard_map (check_vma) — outputs vary over
+    exactly the mesh axes the operands do (per-device rasterization has no
+    cross-device semantics)."""
+    vma = getattr(jax.typeof(like), 'vma', None)
+    return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+
+
 def _patch_dim(settings):
     return min(32, settings.image_size)
 
@@ -329,8 +338,8 @@ def forward_face_index_map(settings, faces, interpret=False,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((bs, t, t, rows, _CHUNK), jnp.float32),
-            jax.ShapeDtypeStruct((bs, t, t, rows, _CHUNK), jnp.int32),
+            _out_struct((bs, t, t, rows, _CHUNK), jnp.float32, faces),
+            _out_struct((bs, t, t, rows, _CHUNK), jnp.int32, faces),
         ],
         interpret=interpret,
     )(counts, featT, prefix)
@@ -539,13 +548,14 @@ def forward_shaded(settings, faces, textures=None, interpret=False,
     out_specs = [out_spec(1), out_spec(1), out_spec(3), out_spec(6),
                  out_spec(3), out_spec(3 if with_rgb else 1)]
     out_shape = [
-        jax.ShapeDtypeStruct((bs, t, t, rows, _CHUNK), jnp.int32),
-        jax.ShapeDtypeStruct((bs, t, t, rows, _CHUNK), jnp.float32),
-        jax.ShapeDtypeStruct((bs, t, t, 3 * rows, _CHUNK), jnp.float32),
-        jax.ShapeDtypeStruct((bs, t, t, 6 * rows, _CHUNK), jnp.float32),
-        jax.ShapeDtypeStruct((bs, t, t, 3 * rows, _CHUNK), jnp.float32),
-        jax.ShapeDtypeStruct(
-            (bs, t, t, (3 if with_rgb else 1) * rows, _CHUNK), jnp.float32),
+        _out_struct((bs, t, t, rows, _CHUNK), jnp.int32, faces),
+        _out_struct((bs, t, t, rows, _CHUNK), jnp.float32, faces),
+        _out_struct((bs, t, t, 3 * rows, _CHUNK), jnp.float32, faces),
+        _out_struct((bs, t, t, 6 * rows, _CHUNK), jnp.float32, faces),
+        _out_struct((bs, t, t, 3 * rows, _CHUNK), jnp.float32, faces),
+        _out_struct(
+            (bs, t, t, (3 if with_rgb else 1) * rows, _CHUNK), jnp.float32,
+            faces),
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -55,6 +55,56 @@ def test_sharded_silhouette_matches_single_device(mesh8):
         np.testing.assert_array_equal(single, sharded[b])
 
 
+def test_pallas_under_shard_map_tpu():
+    """The Pallas kernels compose with jax.shard_map (vma-annotated out
+    shapes): sharded render must be bit-exact vs the single-device pallas
+    render.  TPU only (the CPU tests above pin the XLA backend)."""
+    import jax
+    import jax.numpy as jnp
+    import neural_renderer_tpu as nr
+    from neural_renderer_tpu import parallel
+
+    if jax.default_backend() != 'tpu':
+        pytest.skip('needs a TPU device')
+
+    import os
+    from utils import DATA_DIR
+    vertices, faces = nr.load_obj(os.path.join(DATA_DIR, 'teapot.obj'))
+    bs = 2
+    v = jnp.broadcast_to(jnp.asarray(vertices),
+                         (bs,) + vertices.shape)
+    f = jnp.broadcast_to(jnp.asarray(faces), (bs,) + faces.shape)
+
+    renderer = nr.Renderer()
+    renderer.image_size = 128
+    renderer.anti_aliasing = False
+
+    mesh = parallel.default_mesh(jax.devices()[:1])
+    single = np.asarray(jax.jit(renderer.render_silhouettes)(v, f))
+    sharded = np.asarray(parallel.sharded_render(
+        renderer, mesh, v, f, mode='silhouettes'))
+    np.testing.assert_array_equal(single, sharded)
+
+    # gradients through the kernels inside shard_map
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    def loss(vv):
+        renderer.perf_overrides = dict(grad_out_cap=8192,
+                                       grad_offset_radius=24,
+                                       grad_row_cap=128)
+        out = renderer.render_silhouettes(vv, f)
+        renderer.perf_overrides = {}
+        return jnp.sum(jnp.square(out - 0.5))
+
+    g_single = np.asarray(jax.jit(jax.grad(loss))(v))
+    sharded_grad = shard_map(
+        jax.grad(loss), mesh=mesh,
+        in_specs=(P('batch'),), out_specs=P('batch'))
+    g_sharded = np.asarray(jax.jit(sharded_grad)(v))
+    np.testing.assert_array_equal(g_single, g_sharded)
+
+
 def test_data_parallel_train_step(mesh8):
     import jax
     import jax.numpy as jnp
