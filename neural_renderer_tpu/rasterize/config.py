@@ -46,10 +46,12 @@ class RasterizeSettings:
     # Faces stream through the kernel in 128-face chunks gated by per-patch
     # counts, so a generous cap costs binning memory, not kernel compute.
     faces_per_tile_cap: Optional[int] = None
-    # Backward (K5) "out"-sweep: None = dense/exact; an int compacts the
-    # active edge crossings to this static cap (per batch element) before the
-    # row/column sweeps — required for large batches, validate with
-    # `backward.count_out_crossings` before trusting a cap.
+    # Backward (K5) "out"-sweep: None = dense/exact.  Any int opts into the
+    # compacted out-sweep; on TPU (supported shapes) that runs as the fused
+    # Pallas kernel whose capacity unit is grad_row_cap below (this value is
+    # then unused), elsewhere as the XLA two-level compaction capped at this
+    # many crossings per batch element (validate with
+    # `backward.count_out_crossings`).
     grad_out_cap: Optional[int] = None
     # Backward: pixel-chunk size for the dense out-sweep scan.
     grad_pixel_chunk: int = 65536
