@@ -73,11 +73,13 @@ def run():
 
     loop = tqdm.tqdm(range(args.num_steps))
     for _ in loop:
-        loop.set_description('Optimizing')
         azimuth = np.random.uniform(0, 360)
         eye = jnp.asarray(nr.get_points_from_angles(
             np.float32(2.732), np.float32(0), np.float32(azimuth)))
-        mesh, opt_state, _ = step(mesh, opt_state, eye)
+        mesh, opt_state, loss = step(mesh, opt_state, eye)
+        # the reference prints a bare 'Optimizing' here; surfacing the loss
+        # costs nothing (async readback of a scalar) and records convergence
+        loop.set_description('Optimizing (loss %.4f)' % float(loss))
 
     @jax.jit
     def render_rgb(m, eye):
