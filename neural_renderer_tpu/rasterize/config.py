@@ -66,6 +66,15 @@ class RasterizeSettings:
     # within R rows/cols of its pixel — i.e. R >= max face pixel span;
     # validate with `backward.max_out_offset`.  None = exact gathers.
     grad_offset_radius: Optional[int] = None
+    # Backward: total CSR rows (multiple of 128) for the per-patch partial
+    # face reduction.  When set (and the Pallas forward runs), the fused
+    # K5/K6/K7 per-pixel channels are reduced per screen patch with one-hot
+    # MXU contractions against the forward's binning lists, and the global
+    # pixel->face segment_sum (~20ns/index * is^2 pixels) shrinks to a
+    # segment_sum over these CSR rows (one row per (patch, binned face)).
+    # Exact iff `forward_pallas.csr_rows_needed(settings, faces)` <= this
+    # value.  None = global segment reduction (exact, no capacity).
+    grad_csr_rows: Optional[int] = None
     # Emit a host-side warning at runtime whenever a capacity knob above
     # actually drops records on the scene being rendered (binned faces over
     # faces_per_tile_cap, out-sweep crossings over grad_out_cap, out-pixel

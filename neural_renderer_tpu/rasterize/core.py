@@ -41,8 +41,16 @@ def _xla_forward_maps(settings, faces, textures, fuse_rgb):
 
 
 def _pallas_forward_maps(settings, faces, textures, fuse_rgb,
-                         prefix_counts=None):
+                         prefix_counts=None, allow_csr=True):
+    import dataclasses
+
     from neural_renderer_tpu.rasterize import forward_pallas
+    if not allow_csr and settings.grad_csr_rows is not None:
+        # the auto-overflow lax.cond pairs this branch with the XLA oracle,
+        # which has no CSR artifacts — both branches must return the same
+        # bundle, so the CSR reduction is only available on the
+        # single-backend paths
+        settings = dataclasses.replace(settings, grad_csr_rows=None)
     out = forward_pallas.forward_shaded(
         settings, faces, textures if fuse_rgb else None,
         prefix_counts=prefix_counts)
@@ -56,6 +64,9 @@ def _pallas_forward_maps(settings, faces, textures, fuse_rgb,
                 depth_map=out['depth_map'])
     if fuse_rgb:
         maps['rgb_raw'] = out['rgb'].transpose(0, 2, 3, 1)
+    for key in ('csr_pos', 'csr_gseg', 'csr_counts', 'csr_base'):
+        if key in out:
+            maps[key] = out[key]
     return maps
 
 
@@ -91,7 +102,8 @@ def _forward_maps(settings, faces, textures):
                 return jax.lax.cond(
                     fits,
                     lambda f, t, pc: _pallas_forward_maps(
-                        settings, f, t, fuse_rgb, prefix_counts=pc),
+                        settings, f, t, fuse_rgb, prefix_counts=pc,
+                        allow_csr=False),
                     lambda f, t, pc: _xla_forward_maps(
                         settings, f, t, fuse_rgb),
                     faces, textures, prefix_counts)
@@ -155,6 +167,9 @@ def _forward_all(settings, faces, textures, background):
                face_index_map=face_index_map, weight_map=weight_map,
                depth_map=depth_map, face_inv_map=face_inv_map,
                rgb_map=rgb_map, alpha_map=alpha_map)
+    for key in ('csr_pos', 'csr_gseg', 'csr_counts', 'csr_base'):
+        if key in maps:
+            res[key] = maps[key]
 
     rgb_out = rgb_map if settings.return_rgb else _DUMMY()
     alpha_out = alpha_map if settings.return_alpha else _DUMMY()
@@ -219,15 +234,28 @@ def _bwd(settings, res, cotangents):
 
     sums = {}
     if channels:
-        seg_flat = bwd.face_segments(
-            settings, faces, res['face_index_map']).reshape(-1)
         fused = jnp.concatenate([c for _, c in channels], axis=-1)
         # the barrier keeps per-pixel producers out of the scatter fusion,
         # whose fused producers lower to scalar loops
         fused = jax.lax.optimization_barrier(fused)
-        total = jax.ops.segment_sum(
-            fused.reshape(-1, fused.shape[-1]), seg_flat,
-            num_segments=bs * nf + 1)[:-1]
+        if 'csr_pos' in res:
+            # per-patch partial face sums (one-hot MXU against the
+            # forward's binning lists), then a segment_sum over just the
+            # CSR face-incidence rows instead of every pixel
+            from neural_renderer_tpu.rasterize import (backward_pallas,
+                                                       forward_pallas)
+            partials = backward_pallas.csr_partial_channels(
+                settings, fused, res['csr_pos'], res['csr_counts'],
+                res['csr_base'], forward_pallas.chunk_capacity(settings, nf))
+            total = jax.ops.segment_sum(
+                partials, res['csr_gseg'],
+                num_segments=bs * nf + 1)[:-1]
+        else:
+            seg_flat = bwd.face_segments(
+                settings, faces, res['face_index_map']).reshape(-1)
+            total = jax.ops.segment_sum(
+                fused.reshape(-1, fused.shape[-1]), seg_flat,
+                num_segments=bs * nf + 1)[:-1]
         off = 0
         for name, c in channels:
             width = c.shape[-1]

@@ -352,10 +352,8 @@ def forward_face_index_map(settings, faces, interpret=False,
     return unpack(idx_p), unpack(depth_p)
 
 
-def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb,
-                   counts_ref, featT_ref, prefix_ref,
-                   idx_ref, depth_ref, w_ref, xy_ref, z_ref, rgb_ref,
-                   pos_ref, zmin_ref, flist_ref):
+def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb, nf, bs,
+                   *refs):
     """Shader-style forward: z-buffer + winner attribute/texel emission.
 
     Tracks the winner's patch-list POSITION across face chunks, appends
@@ -363,7 +361,22 @@ def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb,
     last chunk fetches every pixel's winner attributes with one one-hot
     MXU contraction per 128-pixel row — replacing the two 8.4M-index
     winner-row gathers (face rows + texture cubes) of the XLA post-passes.
+
+    With ``settings.grad_csr_rows`` the kernel additionally emits the CSR
+    artifacts the backward's per-patch partial face reduction consumes:
+    the packed winner-position map and the global segment id (b*nf+face,
+    or bs*nf for list padding) of every (patch, chunk) slot, written at
+    the patch's scalar-prefetched CSR chunk base.
     """
+    csr = settings.grad_csr_rows is not None
+    if csr:
+        (counts_ref, base_ref, featT_ref, prefix_ref,
+         idx_ref, depth_ref, w_ref, xy_ref, z_ref, rgb_ref,
+         posout_ref, gseg_ref, pos_ref, zmin_ref, flist_ref) = refs
+    else:
+        (counts_ref, featT_ref, prefix_ref,
+         idx_ref, depth_ref, w_ref, xy_ref, z_ref, rgb_ref,
+         pos_ref, zmin_ref, flist_ref) = refs
     is_ = settings.image_size
     b = pl.program_id(0)
     iy = pl.program_id(1)
@@ -400,6 +413,14 @@ def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)             # [CHUNK, nfeat]
         flist_ref[pl.ds(k * _CHUNK, _CHUNK), :] = fT
+
+        if csr:
+            # global segment id of each chunk slot for the backward's CSR
+            # face reduction; list padding (idf == 0) routes to the bs*nf
+            # overflow bucket
+            ids = f[18:19, :].astype(jnp.int32) - 1          # [1, CHUNK]
+            gseg_ref[...] = jnp.broadcast_to(
+                jnp.where(ids >= 0, b * nf + ids, bs * nf), (8, _CHUNK))
 
         sub = jax.lax.broadcasted_iota(jnp.int32, (rows, _CHUNK, 1), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _CHUNK, 1), 1)
@@ -450,6 +471,10 @@ def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb,
     def _finalize():
         pos = pos_ref[...]                                   # [rows, CHUNK]
         covered = jnp.isfinite(zmin_ref[...])
+        if csr:
+            # packed winner positions; the sentinel `cap` matches no chunk
+            # slot in the backward's one-hot partial reduction
+            posout_ref[0, 0, 0] = jnp.where(covered, pos, cap)
         cap_iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
         for r in range(rows):
             pos_r = pos[r:r + 1, :]
@@ -537,13 +562,21 @@ def forward_shaded(settings, faces, textures=None, interpret=False,
         checks.maybe_callback(_warn_overflow, counts.max(), jnp.int32(cap))
     counts = jnp.minimum(counts, cap)
     featT = _feature_table(settings, faces, textures)
+    csr = settings.grad_csr_rows is not None
 
     kernel = functools.partial(_shaded_kernel, settings, p, rows, nf_pad,
-                               cap, nfeat, with_rgb)
+                               cap, nfeat, with_rgb, nf, bs)
+
+    nsp = 2 if csr else 1      # scalar-prefetch operands (counts [, base])
+
+    def spec(shape, imap):
+        # index_maps receive every scalar-prefetch ref as trailing args
+        return pl.BlockSpec(shape, lambda b, i, j, k, *s, _m=imap:
+                            _m(b, i, j, k))
 
     def out_spec(nplanes):
-        return pl.BlockSpec((1, 1, 1, nplanes * rows, _CHUNK),
-                            lambda b, i, j, k, counts: (b, i, j, 0, 0))
+        return spec((1, 1, 1, nplanes * rows, _CHUNK),
+                    lambda b, i, j, k: (b, i, j, 0, 0))
 
     out_specs = [out_spec(1), out_spec(1), out_spec(3), out_spec(6),
                  out_spec(3), out_spec(3 if with_rgb else 1)]
@@ -557,15 +590,33 @@ def forward_shaded(settings, faces, textures=None, interpret=False,
             (bs, t, t, (3 if with_rgb else 1) * rows, _CHUNK), jnp.float32,
             faces),
     ]
+    operands = [counts, featT, prefix]
+    if csr:
+        base, lc = csr_base(settings, counts)
+        operands = [counts, base, featT, prefix]
+        out_specs += [
+            out_spec(1),                                     # packed pos
+            # CSR global-segment ids: chunk k of patch pt lands at the
+            # prefetched chunk base; skipped chunks (and empty patches)
+            # write nothing and route to the reserved dump chunk lc-1,
+            # clamping doubles as overflow containment (validate with
+            # csr_rows_needed)
+            # (8, 128) blocks satisfy the TPU min-tile rule; the ids are
+            # broadcast over the 8 sublanes and row 0 is read back
+            pl.BlockSpec((8, _CHUNK), lambda b, i, j, k, counts, base: (
+                0, _csr_index_map(t, lc, b, i, j, k, counts, base)[0])),
+        ]
+        out_shape += [
+            _out_struct((bs, t, t, rows, _CHUNK), jnp.int32, faces),
+            _out_struct((8, lc * _CHUNK), jnp.int32, faces),
+        ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=nsp,
         grid=(bs, t, t, k_chunks),
         in_specs=[
-            pl.BlockSpec((1, nf_pad, nfeat),
-                         lambda b, i, j, k, counts: (b, 0, 0)),
-            pl.BlockSpec((1, 1, 1, 1, nf_pad),
-                         lambda b, i, j, k, counts: (b, i, j, 0, 0)),
+            spec((1, nf_pad, nfeat), lambda b, i, j, k: (b, 0, 0)),
+            spec((1, 1, 1, 1, nf_pad), lambda b, i, j, k: (b, i, j, 0, 0)),
         ],
         out_specs=out_specs,
         scratch_shapes=[
@@ -574,7 +625,7 @@ def forward_shaded(settings, faces, textures=None, interpret=False,
             pltpu.VMEM((cap, nfeat), jnp.float32),     # patch feature list
         ],
     )
-    idx_p, depth_p, w_p, xy_p, z_p, rgb_p = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -584,7 +635,8 @@ def forward_shaded(settings, faces, textures=None, interpret=False,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(counts, featT, prefix)
+    )(*operands)
+    idx_p, depth_p, w_p, xy_p, z_p, rgb_p = outs[:6]
 
     def unpack(x, nplanes):
         # [bs, t, t, nplanes*rows, 128]: plane j occupies sublane rows
@@ -602,7 +654,48 @@ def forward_shaded(settings, faces, textures=None, interpret=False,
     )
     if with_rgb:
         out['rgb'] = unpack(rgb_p, 3)
+    if csr:
+        total = jnp.sum((counts + _CHUNK - 1) // _CHUNK) * _CHUNK
+        gseg = outs[7][0]
+        # unvisited CSR tail blocks (and the dump chunk) hold garbage —
+        # route them to the bs*nf overflow bucket
+        limit = jnp.minimum(total, (lc - 1) * _CHUNK)
+        out['csr_gseg'] = jnp.where(
+            jnp.arange(gseg.shape[0], dtype=jnp.int32) < limit, gseg,
+            bs * nf)
+        out['csr_pos'] = outs[6]          # packed [bs, t, t, rows, CHUNK]
+        out['csr_counts'] = counts
+        out['csr_base'] = base
     return out
+
+
+def _csr_index_map(t, lc, b, i, j, k, counts_ref, base_ref):
+    """CSR out-block index: chunk k of patch (b,i,j) lands at its
+    prefetched chunk base; inactive chunks (and any overflow past the cap)
+    land on the reserved dump chunk lc-1, which the caller masks out."""
+    pt = (b * t + i) * t + j
+    cidx = jnp.where(k * _CHUNK < counts_ref[pt], base_ref[pt] + k, lc - 1)
+    return jnp.minimum(cidx, lc - 1), 0
+
+
+def csr_base(settings, counts):
+    """Per-patch CSR chunk base (exclusive scan of ceil(count/128)) and the
+    total chunk capacity lc = grad_csr_rows/128 (last chunk = dump)."""
+    rows_cap = settings.grad_csr_rows
+    if rows_cap is None or rows_cap % _CHUNK or rows_cap < 2 * _CHUNK:
+        raise ValueError('grad_csr_rows must be a multiple of 128 >= 256, '
+                         f'got {rows_cap}')
+    nch = (counts + _CHUNK - 1) // _CHUNK
+    base = jnp.cumsum(nch) - nch
+    return base.astype(jnp.int32), rows_cap // _CHUNK
+
+
+def csr_rows_needed(settings, faces):
+    """CSR rows the scene needs (incl. the dump chunk) — validate
+    ``grad_csr_rows`` against this, like the other capacity knobs."""
+    _, counts = _membership_prefix(settings, faces)
+    counts = jnp.minimum(counts, chunk_capacity(settings, faces.shape[1]))
+    return (jnp.sum((counts + _CHUNK - 1) // _CHUNK) + 1) * _CHUNK
 
 
 def binning_overflow(settings, faces):

@@ -155,3 +155,75 @@ def test_insweep_kernel_silhouette_mode():
         s, 1, *a, interpret=interpret))(ppx, ppy, alpha, ga)
     total = sum(float(jnp.abs(o).sum()) for o in outs)
     assert np.isfinite(total) and total > 0
+
+
+def test_csr_partials_interpret():
+    """CSR partial reduction == global per-pixel segment_sum (interpret
+    mode; runs on any backend)."""
+    is_, nf, nc = 64, 24, 5
+    key = jax.random.PRNGKey(7)
+    fc = jax.random.uniform(key, (1, nf, 3, 3), minval=-0.9, maxval=0.9)
+    fc = fc.at[..., 2].set(1.0 + 0.3 * fc[..., 2])        # z in front range
+    s = RasterizeSettings(image_size=is_, return_rgb=False,
+                          return_alpha=True, return_depth=False,
+                          runtime_checks=False, backend='pallas',
+                          grad_csr_rows=128 * 18)
+    from neural_renderer_tpu.rasterize import forward_pallas
+    out = forward_pallas.forward_shaded(s, fc, interpret=True)
+    need = int(np.asarray(forward_pallas.csr_rows_needed(s, fc)))
+    assert need <= s.grad_csr_rows
+
+    chan = jax.random.normal(jax.random.PRNGKey(8), (1, is_, is_, nc))
+    cap = forward_pallas.chunk_capacity(s, nf)
+    partials = backward_pallas.csr_partial_channels(
+        s, chan, out['csr_pos'], out['csr_counts'], out['csr_base'], cap,
+        interpret=True)
+    got = jax.ops.segment_sum(partials, out['csr_gseg'],
+                              num_segments=nf + 1)[:-1]
+
+    fim = out['face_index_map']
+    seg = jnp.where(fim >= 0, fim, nf).reshape(-1)
+    want = jax.ops.segment_sum(chan.reshape(-1, nc), seg,
+                               num_segments=nf + 1)[:-1]
+    assert int(np.asarray((fim >= 0).sum())) > 0
+    scale = float(np.abs(np.asarray(want)).max()) + 1e-9
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=scale * 1e-6)
+
+
+def test_csr_reduction_matches_global_gradients():
+    """Full rasterize_core gradients: CSR face reduction vs the global
+    segment_sum (TPU only — core only selects the CSR path there)."""
+    if jax.default_backend() != 'tpu':
+        return
+    from neural_renderer_tpu.rasterize import core as rcore
+    from neural_renderer_tpu.rasterize import forward_pallas
+    is_ = 128
+    fc = _scene(is_)
+    bs, nf = fc.shape[:2]
+    tx = jax.random.uniform(jax.random.PRNGKey(5),
+                            (bs, nf, 2, 2, 2, 3)).astype(jnp.float32)
+    bg = jnp.zeros((3,), jnp.float32)
+    kw = dict(image_size=is_, return_rgb=True, return_alpha=True,
+              return_depth=False, runtime_checks=False, grad_out_cap=8192,
+              grad_offset_radius=16, backend='pallas')
+    s0 = RasterizeSettings(**kw)
+    need = int(np.asarray(jax.jit(
+        lambda a: forward_pallas.csr_rows_needed(s0, a))(fc)))
+    s1 = RasterizeSettings(**kw, grad_csr_rows=-(-need // 128) * 128)
+
+    def grads(s):
+        def loss(a, t):
+            from neural_renderer_tpu.rasterize.core import rasterize_core
+            rgb, al, _ = rasterize_core(s, a, t, bg)
+            return jnp.sum(rgb * jnp.cos(rgb)) + 1.7 * jnp.sum(al)
+        return jax.jit(jax.grad(loss, argnums=(0, 1)))(fc, tx)
+
+    g0 = grads(s0)
+    g1 = grads(s1)
+    for name, a, b in (('faces', g0[0], g1[0]), ('textures', g0[1], g1[1])):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-9
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=scale * 1e-5,
+                                   err_msg=name)
+        assert np.abs(a).max() > 0
