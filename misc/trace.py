@@ -46,6 +46,8 @@ def main():
         np.float32(2.732), np.float32(30), np.float32(90))
     renderer.perf_overrides = dict(grad_out_cap=20480,
                                    grad_offset_radius=36,
+                                   faces_per_tile_cap=512,
+                                   grad_csr_rows=295040,
                                    runtime_checks=False)
 
     fwd_bwd = jax.jit(jax.value_and_grad(

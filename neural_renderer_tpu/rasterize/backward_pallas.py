@@ -195,16 +195,18 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
 
     Grid (bs, is/rows, kc).  Chunk 0 rasterizes the crossing math for all
     3 edges, ranks each row's active crossings with a lane prefix sum, and
-    caches per-pixel record attributes in VMEM scratch; every chunk then
-    extracts its 64 records per row with a one-hot MXU contraction and
-    sweeps them against the full row.  Rows with fewer records skip whole
-    chunks via an SMEM count.
+    caches per-record attributes in VMEM as one [na, 3*is] matrix per row
+    (edges segmented along lanes) so every later chunk fetches its 64
+    records with a single one-hot MXU contraction — no per-chunk
+    concatenation or rebuild.  Rows with fewer records skip chunks
+    individually via per-row SMEM counts.
 
     The crossing pixel r is covered by construction, so a_in == 1 exactly
     and dg(r, q') = S1(q') - ga(q') - sum_c rgb_in_c(r) * grgb_c(q').
     """
     eps = settings.eps
     nin = 9 + (6 if with_rgb else 0)
+    na = 9 + (3 if with_rgb else 0)   # attr rows: 7 per-edge + xpos + eid
     (xs_refs, ys_refs) = (refs[0:3], refs[3:6])
     alpha_ref, s1_ref, ga_ref = refs[6:9]
     grgb_refs = refs[9:12] if with_rgb else ()
@@ -212,7 +214,6 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
     out_ref = refs[nin]
     cnt_ref, rank_ref, attr_ref = refs[nin + 1:nin + 4]
 
-    na = 10 + (3 if with_rgb else 0)   # attrs per edge (rgb shared rows)
     c = pl.program_id(2)
     i = pl.program_id(1)
 
@@ -230,7 +231,6 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
         ys = [r[0] for r in ys_refs]
 
         counts = []
-        ranks = []
         for e in range(3):
             pi = [(e + k) % 3 for k in range(3)]
             X0, X1, X2 = (xs[p] for p in pi)
@@ -260,72 +260,56 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
             # attrs are fetched with a one-hot MXU dot, where nan * 0 = nan
             # poisons every slot — inactive pixels' values (nan/inf from
             # the crossing divisions on uncovered pixels) MUST be zeroed
-            base = e * 7 * rows
-            attr_ref[pl.ds(base + 0 * rows, rows), :] = \
-                jnp.where(act, 1.0, 0.0)
-            attr_ref[pl.ds(base + 1 * rows, rows), :] = \
-                jnp.where(act, d1_cross, 0.0)
-            attr_ref[pl.ds(base + 2 * rows, rows), :] = \
-                jnp.where(act, lo, 0.0)
-            attr_ref[pl.ds(base + 3 * rows, rows), :] = \
-                jnp.where(act, hi, 0.0)
-            attr_ref[pl.ds(base + 4 * rows, rows), :] = jnp.where(
+            sl = pl.ds(e * is_, is_)
+            attr_ref[:, 0, sl] = jnp.where(act, 1.0, 0.0)
+            attr_ref[:, 1, sl] = jnp.where(act, d1_cross, 0.0)
+            attr_ref[:, 2, sl] = jnp.where(act, lo, 0.0)
+            attr_ref[:, 3, sl] = jnp.where(act, hi, 0.0)
+            attr_ref[:, 4, sl] = jnp.where(
                 (g0 > 0) & jnp.isfinite(k0), k0, 0.0)
-            attr_ref[pl.ds(base + 5 * rows, rows), :] = jnp.where(
+            attr_ref[:, 5, sl] = jnp.where(
                 (g1 > 0) & jnp.isfinite(k1), k1, 0.0)
-            attr_ref[pl.ds(base + 6 * rows, rows), :] = g1  # g0 via k0!=0
-
-            prefix = _lane_prefix(act.astype(jnp.int32), is_)
-            counts.append(jnp.max(prefix, axis=1, keepdims=True))
-            ranks.append((act, prefix))
-
-        off = [jnp.zeros_like(counts[0]), counts[0], counts[0] + counts[1]]
-        for e in range(3):
-            act, prefix = ranks[e]
-            rank = jnp.where(act, off[e] + prefix - 1, jnp.int32(2 ** 30))
-            rank_ref[pl.ds(e * rows, rows), :] = rank
-        total = counts[0] + counts[1] + counts[2]
-        cnt_ref[0] = jnp.max(total)
-
-        zero = jnp.zeros((rows, is_), jnp.float32)
-        for j in range(6):
-            out_ref[0, pl.ds(j * rows, rows), :] = zero
-
-    @pl.when(c * _KS < cnt_ref[0])
-    def _sweep():
-        s1_all = s1_ref[0]
-        ga_all = ga_ref[0]
-        qi = jax.lax.broadcasted_iota(jnp.int32, (1, is_), 1)
-        qf = qi.astype(jnp.float32)
-        slot_iota = jax.lax.broadcasted_iota(jnp.int32, (_KS, 1), 0)
-
-        for r in range(rows):
-            rank3 = jnp.concatenate(
-                [rank_ref[e * rows + r:e * rows + r + 1, :]
-                 for e in range(3)], axis=1)                 # [1, 3*is]
-            oh = (rank3 == c * _KS + slot_iota).astype(jnp.float32)
-
-            def att(j):
-                return jnp.concatenate(
-                    [attr_ref[e * 7 * rows + j * rows + r:
-                              e * 7 * rows + j * rows + r + 1, :]
-                     for e in range(3)], axis=1)             # [1, 3*is]
-
-            lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * is_), 1)
-            xpos = (lane3 % is_).astype(jnp.float32)
-            eid = (lane3 // is_).astype(jnp.float32)
-            arows = [att(0), att(1), att(2), att(3), att(4), att(5),
-                     att(6), xpos, eid]
+            attr_ref[:, 6, sl] = g1           # g0 via k0 != 0
             if with_rgb:
                 for cch in range(3):
-                    rrow = rgb_refs[cch][0][r:r + 1, :]
-                    arows.append(jnp.concatenate([rrow] * 3, axis=1))
-            attrs = jnp.concatenate(arows, axis=0)           # [na-1, 3*is]
+                    attr_ref[:, 9 + cch, sl] = rgb_refs[cch][0]
 
+            prefix = _lane_prefix(act.astype(jnp.int32), is_)
+            count_e = jnp.max(prefix, axis=1, keepdims=True)
+            rank = jnp.where(act, prefix - 1, jnp.int32(2 ** 30))
+            counts.append((count_e, rank))
+
+        # record coordinates shared by all rows (lane position / edge id)
+        lane3 = jax.lax.broadcasted_iota(jnp.int32, (rows, 3 * is_), 1)
+        attr_ref[:, 7, :] = (lane3 % is_).astype(jnp.float32)
+        attr_ref[:, 8, :] = (lane3 // is_).astype(jnp.float32)
+
+        # global rank across the 3 edge segments + per-row totals in SMEM
+        off = jnp.zeros_like(counts[0][0])
+        total = jnp.zeros_like(counts[0][0])
+        for e in range(3):
+            count_e, rank = counts[e]
+            rank_ref[:, pl.ds(e * is_, is_)] = rank + off
+            off = off + count_e
+            total = total + count_e
+        for r in range(rows):
+            cnt_ref[r] = jnp.max(total[r:r + 1, 0:1])
+
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    qi = jax.lax.broadcasted_iota(jnp.int32, (1, is_), 1)
+    qf = qi.astype(jnp.float32)
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (_KS, 1), 0)
+
+    for r in range(rows):
+        @pl.when(c * _KS < cnt_ref[r])
+        def _sweep(r=r):
+            oh = (rank_ref[r:r + 1, :] == c * _KS + slot_iota).astype(
+                jnp.float32)                                 # [_KS, 3*is]
             rec = jax.lax.dot_general(
-                oh, attrs, (((1,), (1,)), ((), ())),
+                oh, attr_ref[r], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)         # [_KS, na-1]
+                precision=jax.lax.Precision.HIGHEST)         # [_KS, na]
 
             def col(j):
                 return rec[:, j:j + 1]                       # [_KS, 1]
@@ -333,10 +317,10 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
             vflag, d1c, lo, hi, k0, k1, g1 = (col(j) for j in range(7))
             xr, er = col(7), col(8)
 
-            s1_row = s1_all[r:r + 1, :]
+            s1_row = s1_ref[0][r:r + 1, :]
             # a_in == 1 exactly at crossings, so the alpha term of
             # dg = (a(q') - a_in) * ga(q') is s1's alpha part minus ga
-            dg = (s1_row - ga_all[r:r + 1, :] if settings.return_alpha
+            dg = (s1_row - ga_ref[0][r:r + 1, :] if settings.return_alpha
                   else s1_row)
             if with_rgb:
                 for cch in range(3):
@@ -354,17 +338,18 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
             c0 = jnp.sum(contrib(k0, k0 != 0), axis=1, keepdims=True)
             c1 = jnp.sum(contrib(k1, g1 > 0), axis=1, keepdims=True)
 
+            # scatter every record's (c0, c1) to its in-pixel lane for its
+            # (edge, k) plane — ONE [6 x _KS] x [_KS x is] contraction
             ohx = (qi == xr.astype(jnp.int32)).astype(jnp.float32)
-            for e in range(3):
-                esel = (er == e).astype(jnp.float32)
-                for k, cv in ((0, c0), (1, c1)):
-                    j = 2 * e + k
-                    row_add = jax.lax.dot_general(
-                        cv * esel, ohx, (((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)  # [1, is]
-                    out_ref[0, j * rows + r:j * rows + r + 1, :] = \
-                        out_ref[0, j * rows + r:j * rows + r + 1, :] + row_add
+            cv6 = jnp.concatenate(
+                [(c0 if kk == 0 else c1) * (er == e)
+                 for e in range(3) for kk in (0, 1)], axis=1)  # [_KS, 6]
+            row_add = jax.lax.dot_general(
+                cv6, ohx, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)          # [6, is]
+            out_ref[0, pl.ds(r * 6, 6), :] = \
+                out_ref[0, pl.ds(r * 6, 6), :] + row_add
 
 
 def outsweep_channels(settings, a, ppx, ppy, alpha_map, s1_map,
@@ -412,17 +397,18 @@ def outsweep_channels(settings, a, ppx, ppy, alpha_map, s1_map,
         out_shape=_out_struct((bs, 6 * rows * (is_ // rows), is_),
                               jnp.float32, alpha_map),
         scratch_shapes=[
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.VMEM((3 * rows, is_), jnp.int32),
-            pltpu.VMEM((3 * 7 * rows, is_), jnp.float32),
+            pltpu.SMEM((rows,), jnp.int32),
+            pltpu.VMEM((rows, 3 * is_), jnp.int32),
+            pltpu.VMEM((rows, 9 + (3 if with_rgb else 0), 3 * is_),
+                       jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*inputs)
-    # out rows: block i holds planes [6, rows] at sublanes [i*6*rows ...]
-    out = out.reshape(bs, is_ // rows, 6, rows, is_)
-    out = out.transpose(2, 0, 1, 3, 4).reshape(6, bs, is_, is_)
+    # out rows: block i holds [rows, 6] planes at sublanes [i*6*rows ...]
+    out = out.reshape(bs, is_ // rows, rows, 6, is_)
+    out = out.transpose(3, 0, 1, 2, 4).reshape(6, bs, is_, is_)
     return [tr(out[j]) for j in range(6)]
 
 

@@ -235,8 +235,10 @@ def _bwd(settings, res, cotangents):
     sums = {}
     if channels:
         fused = jnp.concatenate([c for _, c in channels], axis=-1)
-        # the barrier keeps per-pixel producers out of the scatter fusion,
-        # whose fused producers lower to scalar loops
+        # the barrier keeps per-pixel producers out of the reduction that
+        # follows: without it XLA fuses them into the scatter (which then
+        # lowers to scalar loops) or remats them as [bs,is,is,1] copies
+        # that lane-pad 128x and blow HBM (observed: 84G of temps)
         fused = jax.lax.optimization_barrier(fused)
         if 'csr_pos' in res:
             # per-patch partial face sums (one-hot MXU against the

@@ -402,17 +402,14 @@ def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb, nf, bs,
         slot = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, nf_pad), 0)
         onehot = (pz == (k * _CHUNK + 1 + slot)).astype(jnp.float32)
 
-        # features for this chunk's 128 faces, in BOTH orientations: f for
-        # the per-pixel math, fT appended to the patch's resident list
+        # features for this chunk's 128 faces; the same [nfeat, CHUNK]
+        # orientation is appended to the patch's resident (transposed)
+        # list, so ONE exact one-hot contraction serves both
         f = jax.lax.dot_general(
             featT_ref[0], onehot, (((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)             # [nfeat, CHUNK]
-        fT = jax.lax.dot_general(
-            onehot, featT_ref[0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)             # [CHUNK, nfeat]
-        flist_ref[pl.ds(k * _CHUNK, _CHUNK), :] = fT
+        flist_ref[:, pl.ds(k * _CHUNK, _CHUNK)] = f
 
         if csr:
             # global segment id of each chunk slot for the backward's CSR
@@ -467,7 +464,20 @@ def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb, nf, bs,
         zmin_ref[...] = jnp.where(better, cmin, prev_d)
         pos_ref[...] = jnp.where(better, k * _CHUNK + cslot, prev_p)
 
-    @pl.when(k == nk - 1)
+    @pl.when((k == nk - 1) & (count == 0))
+    def _finalize_empty():
+        # nothing binned: constant outputs, no fetch work at all (empty
+        # patches are common — the teapot leaves ~half the screen empty)
+        if csr:
+            posout_ref[0, 0, 0] = jnp.full((rows, _CHUNK), cap, jnp.int32)
+        idx_ref[0, 0, 0] = jnp.full((rows, _CHUNK), -1, jnp.int32)
+        depth_ref[0, 0, 0] = jnp.full((rows, _CHUNK), far, jnp.float32)
+        w_ref[0, 0, 0] = jnp.zeros((3 * rows, _CHUNK), jnp.float32)
+        xy_ref[0, 0, 0] = jnp.zeros((6 * rows, _CHUNK), jnp.float32)
+        z_ref[0, 0, 0] = jnp.zeros((3 * rows, _CHUNK), jnp.float32)
+        rgb_ref[0, 0, 0] = jnp.zeros_like(rgb_ref[0, 0, 0])
+
+    @pl.when((k == nk - 1) & (count > 0))
     def _finalize():
         pos = pos_ref[...]                                   # [rows, CHUNK]
         covered = jnp.isfinite(zmin_ref[...])
@@ -475,14 +485,24 @@ def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb, nf, bs,
             # packed winner positions; the sentinel `cap` matches no chunk
             # slot in the backward's one-hot partial reduction
             posout_ref[0, 0, 0] = jnp.where(covered, pos, cap)
-        cap_iota = jax.lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
+        nch = (count + _CHUNK - 1) // _CHUNK
+        slot_iota = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1), 0)
         for r in range(rows):
             pos_r = pos[r:r + 1, :]
-            oh = (cap_iota == pos_r).astype(jnp.float32)     # [cap, CHUNK]
-            at = jax.lax.dot_general(
-                flist_ref[...], oh, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)         # [nfeat, CHUNK]
+
+            # fetch winner features chunk by chunk — only the chunks this
+            # patch actually filled (most patches bin < 128 faces, the
+            # capacity is rounded up to 4+)
+            def fetch(kk, acc):
+                oh = (slot_iota == pos_r - kk * _CHUNK).astype(jnp.float32)
+                return acc + jax.lax.dot_general(
+                    flist_ref[:, pl.ds(kk * _CHUNK, _CHUNK)], oh,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)     # [nfeat, CHUNK]
+
+            at = jax.lax.fori_loop(
+                0, nch, fetch, jnp.zeros((nfeat, _CHUNK), jnp.float32))
             cov_r = covered[r:r + 1, :]
 
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, _CHUNK), 1)
@@ -622,7 +642,7 @@ def forward_shaded(settings, faces, textures=None, interpret=False,
         scratch_shapes=[
             pltpu.VMEM((rows, _CHUNK), jnp.int32),     # winner position
             pltpu.VMEM((rows, _CHUNK), jnp.float32),   # running min z
-            pltpu.VMEM((cap, nfeat), jnp.float32),     # patch feature list
+            pltpu.VMEM((nfeat, cap), jnp.float32),     # patch feature listT
         ],
     )
     outs = pl.pallas_call(

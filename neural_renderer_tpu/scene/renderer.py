@@ -69,6 +69,13 @@ class Renderer(object):
             vertices = perspective(vertices, angle=self.viewing_angle)
         return vertices
 
+    def _transform_faces(self, face_coords):
+        """_transform applied to gathered face coords [bs, nf, 3, 3] —
+        pointwise-identical to transforming the vertices first."""
+        bs, nf = face_coords.shape[:2]
+        flat = self._transform(face_coords.reshape(bs, nf * 3, 3))
+        return flat.reshape(bs, nf, 3, 3)
+
     @staticmethod
     def _fill_back_faces(faces):
         """Duplicate every face back-to-front (renderer.py:37,57,77)."""
@@ -120,8 +127,12 @@ class Renderer(object):
             self.light_color_directional,
             self.light_direction)
 
-        vertices = self._transform(vertices)
-        face_coords = vertices_to_faces(vertices, faces)
+        # the camera transform is pointwise, so applying it to the already
+        # gathered world-space face coords is exact — and its VJP then
+        # scatters into the vertices ONCE instead of twice (the reference
+        # gathers twice, renderer.py:82,103; each gather's backward is a
+        # ~0.5M-index scatter-add at batch 32)
+        face_coords = self._transform_faces(faces_lighting)
         return rasterize(
             face_coords, textures, self.image_size, self.anti_aliasing,
             self.near, self.far, self.rasterizer_eps, self.background_color,
@@ -143,8 +154,7 @@ class Renderer(object):
             self.light_intensity_ambient, self.light_intensity_directional,
             self.light_color_ambient, self.light_color_directional,
             self.light_direction)
-        vertices = self._transform(vertices)
-        face_coords = vertices_to_faces(vertices, faces)
+        face_coords = self._transform_faces(faces_lighting)
         return rasterize_rgbad(
             face_coords, textures, self.image_size, self.anti_aliasing,
             self.near, self.far, self.rasterizer_eps, self.background_color,
