@@ -29,6 +29,16 @@ import os
 import time
 
 import jax
+
+# Persistent compilation cache: this machine's TPU compiles go through a
+# remote-compile tunnel at ~minutes per program; a warm cache turns repeat
+# bench runs from ~15 min of compiles into seconds.
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               '.jax_cache'))
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0)
+
 import jax.numpy as jnp
 import numpy as np
 

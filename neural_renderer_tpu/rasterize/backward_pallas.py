@@ -481,9 +481,13 @@ def _csr_kernel(rows, p, nc, kmax, pchk_ref, kofs_ref, chan_ref, pos_ref,
     @pl.when(kofs < kmax)
     def _compute():
         pos = pos_ref[0, 0, 0]                           # [rows, 128] int32
-        # [p, p, C] patch pixels -> [p*p, C]; the merged (y, x) majors keep
-        # the packed flat = sub*128 + lane pixel order of the pos map
-        chan = chan_ref[0].reshape(p * p, nc)
+        # [p, p, C] patch pixels -> [p*p, C] in the forward's packed pixel
+        # order: slot (r, l) holds pixel y = (l//p)*rows + r, x = l%p
+        # (forward_pallas._pixel_coords), so split y into (group, r),
+        # swap the leading (non-tiled) dims, and re-merge
+        groups = _LANE // p
+        chan = (chan_ref[0].reshape(groups, rows, p, nc)
+                .transpose(1, 0, 2, 3).reshape(p * p, nc))
         slot = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
         acc = jnp.zeros((_LANE, nc), jnp.float32)
         for r in range(rows):

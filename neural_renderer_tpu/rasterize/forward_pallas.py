@@ -184,8 +184,57 @@ def _feature_table(settings, faces, textures=None):
     return jnp.pad(feat, ((0, 0), (0, nf_pad - nf), (0, 0)))
 
 
+def _flush_strip(store, stage_ref, nplanes, p, rows, nx):
+    """Assemble a staged patch-row strip into image-layout planes and emit
+    them via ``store(plane, img[p, is])``.
+
+    Each tx step stages its patch\'s packed [nplanes*rows, _CHUNK] data at
+    ``stage_ref[tx]`` (dynamic indexing of a leading non-tiled dim — the
+    one dynamic access Mosaic allows; sub-128-lane windowed stores are
+    not).  At the strip\'s last patch this reassembles every plane with
+    static value slices: the packed pixel mapping (``_pixel_coords``)
+    makes lane group g of patch w the [rows, p] image band at
+    y in [g*rows, (g+1)*rows), x in [w*p, (w+1)*p)."""
+    groups = _CHUNK // p
+
+    def piece(w, j, g):
+        plane = stage_ref[w][j * rows:(j + 1) * rows, :]     # [rows, 128]
+        # rotate lane group g to offset 0 before slicing: Mosaic refuses
+        # concatenates whose operands carry mismatched physical lane
+        # offsets, and a plain value slice keeps its source offset
+        if g:
+            plane = pltpu.roll(plane, _CHUNK - g * p, 1)
+        return plane[:, :p]
+
+    for j in range(nplanes):
+        bands = []
+        for g in range(groups):
+            parts = [piece(w, j, g) for w in range(nx)]
+            bands.append(parts[0] if nx == 1
+                         else jnp.concatenate(parts, axis=1))
+        store(j, bands[0] if groups == 1
+              else jnp.concatenate(bands, axis=0))
+
+
+def _pixel_coords(p, rows, iy, ix, shape, sub_dim, lane_dim, sub0=None):
+    """Per-slot global pixel coords (float) for the packed patch layout.
+
+    Packed slot (sub, lane) holds patch pixel y = (lane // p) * rows + sub,
+    x = lane % p — chosen so output blocks store to image layout as static
+    [rows, p] slices (``_store_patch``)."""
+    if sub0 is None:
+        sub = jax.lax.broadcasted_iota(jnp.int32, shape, sub_dim)
+    else:
+        sub = jnp.full(shape, sub0, jnp.int32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, lane_dim)
+    yi = ((lane // p) * rows + sub + iy * p).astype(jnp.float32)
+    xi = (lane % p + ix * p).astype(jnp.float32)
+    return yi, xi
+
+
 def _tile_kernel(settings, p, rows, nf_pad, counts_ref, featT_ref,
-                 prefix_ref, depth_ref, idx_ref):
+                 prefix_ref, depth_ref, idx_ref, dstate_ref, istate_ref,
+                 fstage_ref, istage_ref):
     is_ = settings.image_size
     b = pl.program_id(0)
     iy = pl.program_id(1)
@@ -197,8 +246,8 @@ def _tile_kernel(settings, p, rows, nf_pad, counts_ref, featT_ref,
 
     @pl.when(k == 0)
     def _init():
-        depth_ref[0, 0, 0] = jnp.full((rows, _CHUNK), jnp.inf, jnp.float32)
-        idx_ref[0, 0, 0] = jnp.full((rows, _CHUNK), -1, jnp.int32)
+        dstate_ref[...] = jnp.full((rows, _CHUNK), jnp.inf, jnp.float32)
+        istate_ref[...] = jnp.full((rows, _CHUNK), -1, jnp.int32)
 
     count = counts_ref[(b * ny + iy) * nx + ix]
 
@@ -219,13 +268,7 @@ def _tile_kernel(settings, p, rows, nf_pad, counts_ref, featT_ref,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST)             # [24, _CHUNK]
 
-        # packed pixel coords: flat pixel = sub*_CHUNK + lane maps to the
-        # patch's (flat // p, flat % p) local (y, x)
-        sub = jax.lax.broadcasted_iota(jnp.int32, (rows, _CHUNK, 1), 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _CHUNK, 1), 1)
-        flat = sub * _CHUNK + lane
-        yi = (flat // p + iy * p).astype(jnp.float32)
-        xi = (flat % p + ix * p).astype(jnp.float32)
+        yi, xi = _pixel_coords(p, rows, iy, ix, (rows, _CHUNK, 1), 0, 1)
         yp = (2.0 * yi + 1.0 - is_) / is_
         xp = (2.0 * xi + 1.0 - is_) / is_
 
@@ -266,17 +309,29 @@ def _tile_kernel(settings, p, rows, nf_pad, counts_ref, featT_ref,
         # merge with the running patch state (strict < keeps the earlier
         # chunk's — i.e. lower face id's — win on ties, like the
         # reference's sequential z test, rasterize.py:334)
-        prev_d = depth_ref[0, 0, 0]
-        prev_i = idx_ref[0, 0, 0]
+        prev_d = dstate_ref[...]
+        prev_i = istate_ref[...]
         better = cmin < prev_d
-        depth_ref[0, 0, 0] = jnp.where(better, cmin, prev_d)
-        idx_ref[0, 0, 0] = jnp.where(better, win, prev_i)
+        dstate_ref[...] = jnp.where(better, cmin, prev_d)
+        istate_ref[...] = jnp.where(better, win, prev_i)
 
     @pl.when(k == nk - 1)
     def _finalize():
-        d = depth_ref[0, 0, 0]
+        d = dstate_ref[...]
         covered = jnp.isfinite(d)
-        depth_ref[0, 0, 0] = jnp.where(covered, d, settings.far)
+        fstage_ref[ix] = jnp.where(covered, d, settings.far)
+        istage_ref[ix] = istate_ref[...]
+
+    @pl.when((k == nk - 1) & (ix == nx - 1))
+    def _flush():
+        def store_d(j, img):
+            depth_ref[0] = img
+
+        def store_i(j, img):
+            idx_ref[0] = img
+
+        _flush_strip(store_d, fstage_ref, 1, p, rows, nx)
+        _flush_strip(store_i, istage_ref, 1, p, rows, nx)
 
 
 def chunk_capacity(settings, nf):
@@ -328,28 +383,28 @@ def forward_face_index_map(settings, faces, interpret=False,
                          lambda b, i, j, k, counts: (b, i, j, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 1, rows, _CHUNK),
-                         lambda b, i, j, k, counts: (b, i, j, 0, 0)),
-            pl.BlockSpec((1, 1, 1, rows, _CHUNK),
-                         lambda b, i, j, k, counts: (b, i, j, 0, 0)),
+            pl.BlockSpec((1, p, is_),
+                         lambda b, i, j, k, counts: (b, i, 0)),
+            pl.BlockSpec((1, p, is_),
+                         lambda b, i, j, k, counts: (b, i, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((rows, _CHUNK), jnp.float32),   # running min z
+            pltpu.VMEM((rows, _CHUNK), jnp.int32),     # running winner
+            pltpu.VMEM((t, rows, _CHUNK), jnp.float32),   # strip stage
+            pltpu.VMEM((t, rows, _CHUNK), jnp.int32),
         ],
     )
     depth_p, idx_p = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            _out_struct((bs, t, t, rows, _CHUNK), jnp.float32, faces),
-            _out_struct((bs, t, t, rows, _CHUNK), jnp.int32, faces),
+            _out_struct((bs, is_, is_), jnp.float32, faces),
+            _out_struct((bs, is_, is_), jnp.int32, faces),
         ],
         interpret=interpret,
     )(counts, featT, prefix)
-
-    def unpack(x):
-        # [bs, t, t, rows, 128] -> [bs, t, t, p, p] -> [bs, is, is]
-        return (x.reshape(bs, t, t, p, p).transpose(0, 1, 3, 2, 4)
-                .reshape(bs, is_, is_))
-
-    return unpack(idx_p), unpack(depth_p)
+    return idx_p, depth_p
 
 
 def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb, nf, bs,
@@ -372,11 +427,12 @@ def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb, nf, bs,
     if csr:
         (counts_ref, base_ref, featT_ref, prefix_ref,
          idx_ref, depth_ref, w_ref, xy_ref, z_ref, rgb_ref,
-         posout_ref, gseg_ref, pos_ref, zmin_ref, flist_ref) = refs
+         posout_ref, gseg_ref, pos_ref, zmin_ref, flist_ref,
+         fstage_ref, istage_ref) = refs
     else:
         (counts_ref, featT_ref, prefix_ref,
          idx_ref, depth_ref, w_ref, xy_ref, z_ref, rgb_ref,
-         pos_ref, zmin_ref, flist_ref) = refs
+         pos_ref, zmin_ref, flist_ref, fstage_ref, istage_ref) = refs
     is_ = settings.image_size
     b = pl.program_id(0)
     iy = pl.program_id(1)
@@ -419,11 +475,7 @@ def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb, nf, bs,
             gseg_ref[...] = jnp.broadcast_to(
                 jnp.where(ids >= 0, b * nf + ids, bs * nf), (8, _CHUNK))
 
-        sub = jax.lax.broadcasted_iota(jnp.int32, (rows, _CHUNK, 1), 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, _CHUNK, 1), 1)
-        flat = sub * _CHUNK + lane
-        yi = (flat // p + iy * p).astype(jnp.float32)
-        xi = (flat % p + ix * p).astype(jnp.float32)
+        yi, xi = _pixel_coords(p, rows, iy, ix, (rows, _CHUNK, 1), 0, 1)
         yp = (2.0 * yi + 1.0 - is_) / is_
         xp = (2.0 * xi + 1.0 - is_) / is_
 
@@ -470,12 +522,11 @@ def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb, nf, bs,
         # patches are common — the teapot leaves ~half the screen empty)
         if csr:
             posout_ref[0, 0, 0] = jnp.full((rows, _CHUNK), cap, jnp.int32)
-        idx_ref[0, 0, 0] = jnp.full((rows, _CHUNK), -1, jnp.int32)
-        depth_ref[0, 0, 0] = jnp.full((rows, _CHUNK), far, jnp.float32)
-        w_ref[0, 0, 0] = jnp.zeros((3 * rows, _CHUNK), jnp.float32)
-        xy_ref[0, 0, 0] = jnp.zeros((6 * rows, _CHUNK), jnp.float32)
-        z_ref[0, 0, 0] = jnp.zeros((3 * rows, _CHUNK), jnp.float32)
-        rgb_ref[0, 0, 0] = jnp.zeros_like(rgb_ref[0, 0, 0])
+        istage_ref[ix] = jnp.full((rows, _CHUNK), -1, jnp.int32)
+        nfp = 13 + (3 if with_rgb else 0)
+        fstage_ref[ix] = jnp.concatenate(
+            [jnp.full((rows, _CHUNK), far, jnp.float32),
+             jnp.zeros(((nfp - 1) * rows, _CHUNK), jnp.float32)], axis=0)
 
     @pl.when((k == nk - 1) & (count > 0))
     def _finalize():
@@ -487,6 +538,8 @@ def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb, nf, bs,
             posout_ref[0, 0, 0] = jnp.where(covered, pos, cap)
         nch = (count + _CHUNK - 1) // _CHUNK
         slot_iota = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, 1), 0)
+        acc = dict(idx=[], depth=[], w=[[], [], []], z=[[], [], []],
+                   xy=[[] for _ in range(6)], rgb=[[], [], []])
         for r in range(rows):
             pos_r = pos[r:r + 1, :]
 
@@ -505,10 +558,8 @@ def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb, nf, bs,
                 0, nch, fetch, jnp.zeros((nfeat, _CHUNK), jnp.float32))
             cov_r = covered[r:r + 1, :]
 
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, _CHUNK), 1)
-            flat = r * _CHUNK + lane
-            yi = (flat // p + iy * p).astype(jnp.float32)
-            xi = (flat % p + ix * p).astype(jnp.float32)
+            yi, xi = _pixel_coords(p, rows, iy, ix, (1, _CHUNK), 0, 1,
+                                   sub0=r)
 
             def arow(j):
                 return at[j:j + 1, :]                        # [1, CHUNK]
@@ -522,17 +573,14 @@ def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb, nf, bs,
             zs = [arow(6), arow(7), arow(8)]
             zp = 1.0 / (w[0] / zs[0] + w[1] / zs[1] + w[2] / zs[2])
 
-            idx_ref[0, 0, 0, r:r + 1, :] = jnp.where(
-                cov_r, at[18:19, :].astype(jnp.int32) - 1, -1)
-            depth_ref[0, 0, 0, r:r + 1, :] = jnp.where(cov_r, zp, far)
+            acc['idx'].append(jnp.where(
+                cov_r, at[18:19, :].astype(jnp.int32) - 1, -1))
+            acc['depth'].append(jnp.where(cov_r, zp, far))
             for j in range(3):
-                w_ref[0, 0, 0, r + j * rows:r + j * rows + 1, :] = jnp.where(
-                    cov_r, w[j], 0.0)
-                z_ref[0, 0, 0, r + j * rows:r + j * rows + 1, :] = \
-                    at[6 + j:7 + j, :]
+                acc['w'][j].append(jnp.where(cov_r, w[j], 0.0))
+                acc['z'][j].append(at[6 + j:7 + j, :])
             for j in range(6):
-                xy_ref[0, 0, 0, r + j * rows:r + j * rows + 1, :] = \
-                    at[j:j + 1, :]
+                acc['xy'][j].append(at[j:j + 1, :])
 
             if with_rgb:
                 # K4 trilinear for ts=2 (reference rasterize.py:398-425):
@@ -553,8 +601,41 @@ def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb, nf, bs,
                     for c in range(3):
                         rgb[c] = rgb[c] + cw * arow(19 + isc * 3 + c)
                 for c in range(3):
-                    rgb_ref[0, 0, 0, r + c * rows:r + c * rows + 1, :] = \
-                        jnp.where(cov_r, rgb[c], 0.0)
+                    acc['rgb'][c].append(jnp.where(cov_r, rgb[c], 0.0))
+
+        # stage this patch's packed planes; plane order: depth, w0-2,
+        # z0-2, xy0-5[, rgb0-2] (the flush unpacks in the same order)
+        istage_ref[ix] = jnp.concatenate(acc['idx'], axis=0)
+        frows = (acc['depth'] + acc['w'][0] + acc['w'][1] + acc['w'][2]
+                 + acc['z'][0] + acc['z'][1] + acc['z'][2])
+        for j in range(6):
+            frows += acc['xy'][j]
+        if with_rgb:
+            for c in range(3):
+                frows += acc['rgb'][c]
+        fstage_ref[ix] = jnp.concatenate(frows, axis=0)
+
+    @pl.when((k == nk - 1) & (ix == nx - 1))
+    def _flush():
+        def store_i(j, img):
+            idx_ref[0] = img
+
+        _flush_strip(store_i, istage_ref, 1, p, rows, nx)
+
+        def store_f(j, img):
+            if j == 0:
+                depth_ref[0] = img
+            elif j < 4:
+                w_ref[0, j - 1] = img
+            elif j < 7:
+                z_ref[0, j - 4] = img
+            elif j < 13:
+                xy_ref[0, j - 7] = img
+            else:
+                rgb_ref[0, j - 13] = img
+
+        _flush_strip(store_f, fstage_ref, 13 + (3 if with_rgb else 0),
+                     p, rows, nx)
 
 
 def forward_shaded(settings, faces, textures=None, interpret=False,
@@ -594,28 +675,34 @@ def forward_shaded(settings, faces, textures=None, interpret=False,
         return pl.BlockSpec(shape, lambda b, i, j, k, *s, _m=imap:
                             _m(b, i, j, k))
 
-    def out_spec(nplanes):
-        return spec((1, 1, 1, nplanes * rows, _CHUNK),
-                    lambda b, i, j, k: (b, i, j, 0, 0))
+    def img_spec(nplanes):
+        # direct image-layout patch-row strips: the kernel's packed pixel
+        # mapping makes each patch store a handful of static slice copies,
+        # so no XLA-side unpatchify reshape/transpose pass exists at all;
+        # the strip block is constant over (tx, k), flushed once per row
+        if nplanes == 1:
+            return spec((1, p, is_), lambda b, i, j, k: (b, i, 0))
+        return spec((1, nplanes, p, is_), lambda b, i, j, k: (b, 0, i, 0))
 
-    out_specs = [out_spec(1), out_spec(1), out_spec(3), out_spec(6),
-                 out_spec(3), out_spec(3 if with_rgb else 1)]
+    def img_shape(nplanes, dtype=jnp.float32):
+        if nplanes == 1:
+            return _out_struct((bs, is_, is_), dtype, faces)
+        return _out_struct((bs, nplanes, is_, is_), dtype, faces)
+
+    nrgb = 3 if with_rgb else 1
+    out_specs = [img_spec(1), img_spec(1), img_spec(3), img_spec(6),
+                 img_spec(3), img_spec(nrgb)]
     out_shape = [
-        _out_struct((bs, t, t, rows, _CHUNK), jnp.int32, faces),
-        _out_struct((bs, t, t, rows, _CHUNK), jnp.float32, faces),
-        _out_struct((bs, t, t, 3 * rows, _CHUNK), jnp.float32, faces),
-        _out_struct((bs, t, t, 6 * rows, _CHUNK), jnp.float32, faces),
-        _out_struct((bs, t, t, 3 * rows, _CHUNK), jnp.float32, faces),
-        _out_struct(
-            (bs, t, t, (3 if with_rgb else 1) * rows, _CHUNK), jnp.float32,
-            faces),
+        img_shape(1, jnp.int32), img_shape(1), img_shape(3), img_shape(6),
+        img_shape(3), img_shape(nrgb),
     ]
     operands = [counts, featT, prefix]
     if csr:
         base, lc = csr_base(settings, counts)
         operands = [counts, base, featT, prefix]
         out_specs += [
-            out_spec(1),                                     # packed pos
+            spec((1, 1, 1, rows, _CHUNK),
+                 lambda b, i, j, k: (b, i, j, 0, 0)),        # packed pos
             # CSR global-segment ids: chunk k of patch pt lands at the
             # prefetched chunk base; skipped chunks (and empty patches)
             # write nothing and route to the reserved dump chunk lc-1,
@@ -643,6 +730,9 @@ def forward_shaded(settings, faces, textures=None, interpret=False,
             pltpu.VMEM((rows, _CHUNK), jnp.int32),     # winner position
             pltpu.VMEM((rows, _CHUNK), jnp.float32),   # running min z
             pltpu.VMEM((nfeat, cap), jnp.float32),     # patch feature listT
+            pltpu.VMEM((t, (13 + (3 if with_rgb else 0)) * rows, _CHUNK),
+                       jnp.float32),                   # strip stage (f32)
+            pltpu.VMEM((t, rows, _CHUNK), jnp.int32),  # strip stage (idx)
         ],
     )
     outs = pl.pallas_call(
@@ -658,22 +748,15 @@ def forward_shaded(settings, faces, textures=None, interpret=False,
     )(*operands)
     idx_p, depth_p, w_p, xy_p, z_p, rgb_p = outs[:6]
 
-    def unpack(x, nplanes):
-        # [bs, t, t, nplanes*rows, 128]: plane j occupies sublane rows
-        # [j*rows, (j+1)*rows); each plane's rows*128 pixels are the patch's
-        # p*p block in row-major order
-        x = x.reshape(bs, t, t, nplanes, p, p)
-        return x.transpose(0, 3, 1, 4, 2, 5).reshape(bs, nplanes, is_, is_)
-
     out = dict(
-        face_index_map=unpack(idx_p, 1)[:, 0],
-        depth_map=unpack(depth_p, 1)[:, 0],
-        weights=unpack(w_p, 3),
-        xy=unpack(xy_p, 6),
-        z=unpack(z_p, 3),
+        face_index_map=idx_p,
+        depth_map=depth_p,
+        weights=w_p,
+        xy=xy_p,
+        z=z_p,
     )
     if with_rgb:
-        out['rgb'] = unpack(rgb_p, 3)
+        out['rgb'] = rgb_p
     if csr:
         total = jnp.sum((counts + _CHUNK - 1) // _CHUNK) * _CHUNK
         gseg = outs[7][0]
