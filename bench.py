@@ -55,47 +55,6 @@ def _sync(tree):
     _ = np.asarray(jax.tree.leaves(tree)[0].ravel()[0])
 
 
-def _validated_out_cap(renderer, vertices, faces, azimuths,
-                       camera_distance, elevation):
-    """Pick knob values that provably cover EVERY azimuth this run times
-    (grad_out_cap / grad_offset_radius), or None = exact."""
-    from neural_renderer_tpu.ops.transforms import (get_points_from_angles,
-                                                    look_at, perspective)
-    from neural_renderer_tpu.ops.vertices_to_faces import vertices_to_faces
-    from neural_renderer_tpu.rasterize import backward, forward_pallas
-    from neural_renderer_tpu.rasterize.config import RasterizeSettings
-
-    f2 = jnp.concatenate([faces, faces[:, :, ::-1]], axis=1)
-    s = RasterizeSettings(image_size=IMAGE_SIZE * 2, return_rgb=False,
-                          return_alpha=True, return_depth=False)
-
-    @jax.jit
-    def measure(eye):
-        fc = vertices_to_faces(
-            perspective(look_at(vertices, eye), 30.0), f2)
-        fim, _ = forward_pallas.forward_face_index_map(s, fc)
-        return (backward.count_out_crossings(s, fc, fim),
-                backward.count_out_crossings(s, fc, fim, per_row=True),
-                backward.max_out_offset(s, fc, fim),
-                forward_pallas.binning_overflow(s, fc),
-                forward_pallas.csr_rows_needed(s, fc))
-
-    count = row_count = offset = overflow = csr_rows = 0
-    for az in azimuths:
-        eye = jnp.asarray(get_points_from_angles(
-            np.float32(camera_distance), np.float32(elevation),
-            np.float32(az)))
-        c, rc, off, ovf, csr = (int(np.asarray(x)) for x in measure(eye))
-        count, row_count = max(count, c), max(row_count, rc)
-        offset, overflow = max(offset, off), max(overflow, ovf)
-        csr_rows = max(csr_rows, csr)
-
-    assert row_count <= 256, f'row crossings {row_count} exceed _ROW_CAP'
-    # exact capacity over all timed azimuths, rounded up to a lane multiple
-    cap = -(-count // 1024) * 1024
-    return cap, offset + 1, count, overflow, -(-csr_rows // 128) * 128
-
-
 def main():
     camera_distance, elevation, texture_size = 2.732, 30, 2
 
@@ -110,24 +69,19 @@ def main():
 
     renderer = nr.Renderer()
     renderer.image_size = IMAGE_SIZE
+    renderer.perf_overrides = dict(runtime_checks=False)
 
     azimuths = [float(a) for a in range(0, 360, 360 // max(N_ITERS, 1))]
+    eyes = [jnp.asarray(nr.get_points_from_angles(
+        np.float32(camera_distance), np.float32(elevation),
+        np.float32(az))) for az in azimuths]
 
-    cap, radius, count, overflow, csr_rows = _validated_out_cap(
-        renderer, vertices, faces, azimuths, camera_distance, elevation)
-    # every knob here is validated EXACT for every azimuth timed below:
-    # faces_per_tile_cap >= the worst patch's bin count (and pins the
-    # single-backend Pallas path, which the CSR reduction requires),
-    # grad_csr_rows >= the worst azimuth's CSR rows
-    renderer.perf_overrides = dict(
-        grad_out_cap=cap, grad_offset_radius=radius,
-        faces_per_tile_cap=-(-overflow // 128) * 128,
-        grad_csr_rows=csr_rows)
+    # the library's per-scene tuner: capacities provably exact for every
+    # azimuth this run times (margin=1.0 = exactly the measured poses)
+    overrides = nr.tune(renderer, vertices, faces, eyes=eyes, margin=1.0)
     import sys
     print(f'# bench setup (validated over all {len(azimuths)} azimuths): '
-          f'grad_out_cap={cap} (measured {count}), '
-          f'offset radius={radius}, faces/patch={overflow}, '
-          f'csr rows={csr_rows}', file=sys.stderr)
+          f'{overrides}', file=sys.stderr)
 
     def loss_textured(v, tx, eye):
         renderer.eye = eye

@@ -45,6 +45,7 @@ from neural_renderer_tpu.scene.renderer import Renderer
 from neural_renderer_tpu.scene.mesh import Mesh
 from neural_renderer_tpu.io.obj import load_obj, load_mtl, save_obj, create_texture_image
 from neural_renderer_tpu.optim import Adam, adam
+from neural_renderer_tpu.tune import measure_scene, tune
 
 __version__ = '0.1.0'
 
@@ -58,4 +59,5 @@ __all__ = [
     'Renderer', 'Mesh',
     'load_obj', 'load_mtl', 'save_obj', 'create_texture_image',
     'Adam', 'adam',
+    'measure_scene', 'tune',
 ]

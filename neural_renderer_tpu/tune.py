@@ -1,0 +1,175 @@
+"""Per-scene performance tuning: measure a scene's exact capacity needs
+and configure a ``Renderer`` for maximum throughput with zero approximation.
+
+The rasterizer's performance knobs (``RasterizeSettings``: ``grad_out_cap``,
+``grad_offset_radius``, ``faces_per_tile_cap``, ``grad_csr_rows``) are
+exact *iff* they cover the scene being rendered — defaults are exact but
+leave the fast compacted/CSR paths off.  ``tune`` measures the worst case
+over a set of camera poses and sets ``renderer.perf_overrides`` to values
+that are provably exact for every measured pose (the same validation the
+benchmark harness performs; the renderer's ``runtime_checks`` additionally
+warn at run time if a scene ever exceeds them).
+
+The reference needs no equivalent — its CUDA kernels allocate per-scene on
+the fly; XLA's static shapes are the price of the ahead-of-time compiled,
+deterministic TPU pipeline.
+
+Typical use::
+
+    renderer = nr.Renderer()
+    nr.tune(renderer, vertices, faces,
+            eyes=[nr.get_points_from_angles(2.732, 30, a)
+                  for a in range(0, 360, 15)])
+    step = jax.jit(jax.value_and_grad(loss))   # now runs the fast paths
+"""
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def measure_scene(settings, face_coords):
+    """Exact capacity requirements of one NDC scene ``[bs, nf, 3, 3]``.
+
+    Returns a dict: ``out_crossings`` (grad_out_cap requirement),
+    ``row_crossings`` (per-row, must stay <= grad_row_cap for the Pallas
+    out-sweep), ``out_offset`` (grad_offset_radius requirement - 1),
+    ``binned_faces`` (faces_per_tile_cap requirement), ``csr_rows``
+    (grad_csr_rows requirement)."""
+    from neural_renderer_tpu.rasterize import backward, forward_pallas
+    from neural_renderer_tpu.rasterize import forward_xla
+
+    # the XLA oracle forward: exact on every backend with no capacity
+    # limits of its own (the Pallas forward's auto cap could bias the
+    # measurement on exactly the scenes that need tuning most)
+    fim = forward_xla.forward_face_index_map(settings, face_coords)[0]
+    return dict(
+        out_crossings=backward.count_out_crossings(
+            settings, face_coords, fim),
+        row_crossings=backward.count_out_crossings(
+            settings, face_coords, fim, per_row=True),
+        out_offset=backward.max_out_offset(settings, face_coords, fim),
+        binned_faces=forward_pallas.binning_overflow(settings, face_coords),
+        csr_rows=forward_pallas.csr_rows_needed(settings, face_coords),
+    )
+
+
+def tune(renderer, vertices, faces, eyes=None, margin=1.25):
+    """Measure ``renderer``'s workload on a scene over camera poses and set
+    ``renderer.perf_overrides`` to provably-exact fast-path capacities.
+
+    Args:
+      renderer: a ``Renderer`` whose camera / image settings to honor.
+      vertices: ``[nv, 3]`` or ``[bs, nv, 3]`` vertex positions.
+      faces: matching int faces ``[nf, 3]`` or ``[bs, nf, 3]``.
+      eyes: iterable of camera positions to cover (each anything
+        ``renderer.eye`` accepts).  None = the renderer's current eye.
+      margin: multiplier applied to the measured requirements before
+        rounding up, to absorb small pose/geometry drift during an
+        optimization loop (1.0 = exactly the measured poses).  The
+        capacities stay *validated* for the measured poses either way, and
+        ``runtime_checks`` warns if a later scene outgrows them.
+
+    Returns the override dict (also assigned to the renderer).
+    """
+    from neural_renderer_tpu.ops.vertices_to_faces import vertices_to_faces
+    from neural_renderer_tpu.rasterize.config import RasterizeSettings
+
+    vertices = jnp.asarray(vertices, jnp.float32)
+    faces = jnp.asarray(faces)
+    if vertices.ndim == 2:
+        vertices = vertices[None]
+    if faces.ndim == 2:
+        faces = faces[None]
+    if renderer.fill_back:
+        faces = renderer._fill_back_faces(faces)
+
+    render_size = renderer.image_size * (2 if renderer.anti_aliasing else 1)
+    settings = RasterizeSettings(
+        image_size=render_size, near=float(renderer.near),
+        far=float(renderer.far), return_rgb=False, return_alpha=True,
+        return_depth=False, runtime_checks=False)
+
+    saved_eye = renderer.eye
+    if eyes is None:
+        eyes = [saved_eye]
+
+    def coords(v, eye):
+        # eye is a traced argument (NOT baked into the jit cache: a closure
+        # read would freeze the first pose into the compiled program)
+        renderer.eye = eye
+        return vertices_to_faces(renderer._transform(v), faces)
+
+    from neural_renderer_tpu.rasterize import backward, forward_pallas
+    from neural_renderer_tpu.rasterize import forward_xla
+
+    # phase 1 — binning capacities: cheap pure-XLA counts
+    @jax.jit
+    def measure_bins(v, eye):
+        fc = coords(v, eye)
+        return (forward_pallas.binning_overflow(settings, fc),
+                forward_pallas.csr_rows_needed(settings, fc))
+
+    worst = {}
+    try:
+        for eye in eyes:
+            b, c = measure_bins(vertices, jnp.asarray(eye, jnp.float32))
+            worst['binned_faces'] = max(worst.get('binned_faces', 0),
+                                        int(np.asarray(b)))
+            worst['csr_rows'] = max(worst.get('csr_rows', 0),
+                                    int(np.asarray(c)))
+
+        # phase 2 — backward capacities, from a face-index map rendered at
+        # a cap that phase 1 proved covering (the fast Pallas forward when
+        # available; the XLA oracle elsewhere)
+        import dataclasses
+        cap = max(128, -(-worst['binned_faces'] // 128) * 128)
+        s2 = dataclasses.replace(settings, faces_per_tile_cap=cap)
+        use_pallas = forward_pallas.supported(s2, faces)  # shape-only check
+
+        @jax.jit
+        def measure_sweeps(v, eye):
+            fc = coords(v, eye)
+            if use_pallas:
+                fim, _ = forward_pallas.forward_face_index_map(s2, fc)
+            else:
+                fim = forward_xla.forward_face_index_map(s2, fc)[0]
+            return (backward.count_out_crossings(s2, fc, fim),
+                    backward.count_out_crossings(s2, fc, fim, per_row=True),
+                    backward.max_out_offset(s2, fc, fim))
+
+        for eye in eyes:
+            oc, rc, oo = measure_sweeps(vertices,
+                                        jnp.asarray(eye, jnp.float32))
+            worst['out_crossings'] = max(worst.get('out_crossings', 0),
+                                         int(np.asarray(oc)))
+            worst['row_crossings'] = max(worst.get('row_crossings', 0),
+                                         int(np.asarray(rc)))
+            worst['out_offset'] = max(worst.get('out_offset', 0),
+                                      int(np.asarray(oo)))
+    finally:
+        renderer.eye = saved_eye
+
+    def up(v, unit):
+        return max(unit, -(-int(v * margin) // unit) * unit)
+
+    overrides = dict(
+        faces_per_tile_cap=up(worst['binned_faces'], 128),
+        # csr_base requires >= 2 chunks (data + dump)
+        grad_csr_rows=max(256, up(worst['csr_rows'], 128)),
+        grad_out_cap=up(worst['out_crossings'], 1024),
+        grad_offset_radius=worst['out_offset'] + 1,
+    )
+    row_cap = RasterizeSettings.grad_row_cap
+    if worst['row_crossings'] > row_cap:
+        # the Pallas out-sweep's per-row capacity is a hard kernel limit;
+        # keep the exact dense out-sweep rather than an approximate one
+        warnings.warn(
+            f'tune: {worst["row_crossings"]} out-sweep crossings in one '
+            f'image row exceed the kernel row capacity {row_cap}; leaving '
+            'grad_out_cap unset (exact dense path)')
+        del overrides['grad_out_cap']
+    renderer.perf_overrides = dict(renderer.perf_overrides, **overrides)
+    return overrides

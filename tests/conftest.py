@@ -25,6 +25,18 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 DATA_DIR = pathlib.Path(__file__).resolve().parent / 'data'
 
+# Persistent compilation cache: on this machine TPU compiles go through a
+# remote-compile tunnel at ~tens of seconds per program, which dominated
+# the suite (one kernel-comparison test spent 450 s compiling).  Warm
+# runs skip all of it.  Harmless on plain CPU hosts.
+import jax
+
+jax.config.update(
+    'jax_compilation_cache_dir',
+    str(pathlib.Path(__file__).resolve().parent.parent / '.jax_cache'))
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0)
+
 
 def cpu_mesh_devices(n=8):
     """n virtual CPU devices for sharding tests (works on any host)."""
