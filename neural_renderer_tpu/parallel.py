@@ -32,12 +32,18 @@ def shard_batch(mesh, *arrays):
     return out[0] if len(out) == 1 else out
 
 
-def sharded_render(renderer, mesh, vertices, faces, textures=None,
-                   mode='rgb'):
-    """Render a batch sharded across the mesh's batch axis.
+def make_sharded_render(renderer, mesh, mode='rgb'):
+    """Build a REUSABLE jitted sharded-render callable.
 
-    mode: 'rgb' | 'silhouettes' | 'depth' | 'rgbad'.  Each device renders its
-    local batch shard — zero inter-chip communication.
+    mode: 'rgb' | 'silhouettes' | 'depth' | 'rgbad'.  Each device renders
+    its local batch shard — zero inter-chip communication.  Renderer
+    attributes (camera, lights, perf knobs) are captured at trace time;
+    re-make after changing them.  For per-call camera poses, set
+    ``renderer.eye`` to a sharded ``[bs, 3]`` array before making (it is a
+    traced constant of the compiled program) or thread it through your own
+    jitted step like the examples do.
+
+    Returns ``f(vertices, faces[, textures])``.
     """
     spec = P(BATCH_AXIS)
 
@@ -51,7 +57,7 @@ def sharded_render(renderer, mesh, vertices, faces, textures=None,
         def f(v, fc, tx):
             return fn(v, fc, tx)
 
-        return jax.jit(f)(vertices, faces, textures)
+        return jax.jit(f)
 
     fn = (renderer.render_silhouettes if mode == 'silhouettes'
           else renderer.render_depth)
@@ -61,7 +67,19 @@ def sharded_render(renderer, mesh, vertices, faces, textures=None,
     def f(v, fc):
         return fn(v, fc)
 
-    return jax.jit(f)(vertices, faces)
+    return jax.jit(f)
+
+
+def sharded_render(renderer, mesh, vertices, faces, textures=None,
+                   mode='rgb'):
+    """One-shot convenience wrapper over ``make_sharded_render``.
+
+    NOTE: builds (and traces) a fresh program per call — hold on to
+    ``make_sharded_render``'s callable for loops."""
+    f = make_sharded_render(renderer, mesh, mode)
+    if mode in ('rgb', 'rgbad'):
+        return f(vertices, faces, textures)
+    return f(vertices, faces)
 
 
 def make_data_parallel_train_step(loss_fn, opt_update, mesh):
