@@ -176,6 +176,7 @@ def _kernel(settings, dir_lt, radius, rows, is_,
 
 
 _KS = 64            # out-sweep record slots per chunk
+_WINT = 2           # fetch-window width in 128-lane tiles (per edge)
 
 
 def _lane_prefix(x, is_):
@@ -212,7 +213,14 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
     grgb_refs = refs[9:12] if with_rgb else ()
     rgb_refs = refs[12:15] if with_rgb else ()
     out_ref = refs[nin]
-    cnt_ref, rank_ref, attr_ref = refs[nin + 1:nin + 4]
+    cnt_ref, rank_ref, attr_ref, tlo_ref, wok_ref = refs[nin + 1:nin + 6]
+
+    # windowed fetch: a (row, edge)'s active crossings cluster in the
+    # object's x-range — when each edge's span fits _WINT lane-tiles, the
+    # record fetch contracts 3 x _WINT tiles instead of all 3*is lanes
+    # (the fetch is the kernel's dominant cost, ~12 MXU K-tiles/row)
+    windowed = is_ >= _WINT * 2 * _LANE
+    winl = _WINT * _LANE
 
     c = pl.program_id(2)
     i = pl.program_id(1)
@@ -231,6 +239,7 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
         ys = [r[0] for r in ys_refs]
 
         counts = []
+        spans = []
         for e in range(3):
             pi = [(e + k) % 3 for k in range(3)]
             X0, X1, X2 = (xs[p] for p in pi)
@@ -278,6 +287,12 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
             count_e = jnp.max(prefix, axis=1, keepdims=True)
             rank = jnp.where(act, prefix - 1, jnp.int32(2 ** 30))
             counts.append((count_e, rank))
+            if windowed:
+                lo_lane = jnp.min(jnp.where(act, d1i, jnp.int32(2 ** 30)),
+                                  axis=1, keepdims=True)
+                hi_lane = jnp.max(jnp.where(act, d1i, -1),
+                                  axis=1, keepdims=True)
+                spans.append((lo_lane, hi_lane))
 
         # record coordinates shared by all rows (lane position / edge id)
         lane3 = jax.lax.broadcasted_iota(jnp.int32, (rows, 3 * is_), 1)
@@ -295,6 +310,23 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
         for r in range(rows):
             cnt_ref[r] = jnp.max(total[r:r + 1, 0:1])
 
+        if windowed:
+            # per-(row, edge) fetch-window tile base + a per-row flag that
+            # every edge's span fits; rows that don't fall back to the
+            # full-width fetch (exact either way)
+            nt_max = is_ // _LANE - _WINT
+            for r in range(rows):
+                ok = None
+                for e in range(3):
+                    lo_r = jnp.max(spans[e][0][r:r + 1, 0:1])
+                    hi_r = jnp.max(spans[e][1][r:r + 1, 0:1])
+                    tlo = jnp.clip(lo_r // _LANE, 0, nt_max)
+                    tlo_ref[e * rows + r] = jnp.where(hi_r < 0, 0, tlo)
+                    ok_e = ((hi_r < 0)
+                            | (hi_r // _LANE - lo_r // _LANE < _WINT))
+                    ok = ok_e if ok is None else (ok & ok_e)
+                wok_ref[r] = ok.astype(jnp.int32)
+
         out_ref[0] = jnp.zeros_like(out_ref[0])
 
     qi = jax.lax.broadcasted_iota(jnp.int32, (1, is_), 1)
@@ -302,15 +334,7 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
     slot_iota = jax.lax.broadcasted_iota(jnp.int32, (_KS, 1), 0)
 
     for r in range(rows):
-        @pl.when(c * _KS < cnt_ref[r])
-        def _sweep(r=r):
-            oh = (rank_ref[r:r + 1, :] == c * _KS + slot_iota).astype(
-                jnp.float32)                                 # [_KS, 3*is]
-            rec = jax.lax.dot_general(
-                oh, attr_ref[r], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)         # [_KS, na]
-
+        def _sweep_tail(r, rec):
             def col(j):
                 return rec[:, j:j + 1]                       # [_KS, 1]
 
@@ -350,6 +374,43 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
                 precision=jax.lax.Precision.HIGHEST)          # [6, is]
             out_ref[0, pl.ds(r * 6, 6), :] = \
                 out_ref[0, pl.ds(r * 6, 6), :] + row_add
+
+        live = c * _KS < cnt_ref[r]
+        if windowed:
+            @pl.when(live & (wok_ref[r] == 1))
+            def _sweep_win(r=r):
+                rec = None
+                for e in range(3):
+                    sl = pl.ds(e * is_ + tlo_ref[e * rows + r] * _LANE,
+                               winl)
+                    ohw = (rank_ref[r:r + 1, sl]
+                           == c * _KS + slot_iota).astype(jnp.float32)
+                    d = jax.lax.dot_general(
+                        ohw, attr_ref[r, :, sl], (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)  # [_KS, na]
+                    rec = d if rec is None else rec + d
+                _sweep_tail(r, rec)
+
+            @pl.when(live & (wok_ref[r] == 0))
+            def _sweep_full(r=r):
+                oh = (rank_ref[r:r + 1, :] == c * _KS + slot_iota).astype(
+                    jnp.float32)                             # [_KS, 3*is]
+                rec = jax.lax.dot_general(
+                    oh, attr_ref[r], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)     # [_KS, na]
+                _sweep_tail(r, rec)
+        else:
+            @pl.when(live)
+            def _sweep(r=r):
+                oh = (rank_ref[r:r + 1, :] == c * _KS + slot_iota).astype(
+                    jnp.float32)                             # [_KS, 3*is]
+                rec = jax.lax.dot_general(
+                    oh, attr_ref[r], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)     # [_KS, na]
+                _sweep_tail(r, rec)
 
 
 def outsweep_channels(settings, a, ppx, ppy, alpha_map, s1_map,
@@ -401,6 +462,8 @@ def outsweep_channels(settings, a, ppx, ppy, alpha_map, s1_map,
             pltpu.VMEM((rows, 3 * is_), jnp.int32),
             pltpu.VMEM((rows, 9 + (3 if with_rgb else 0), 3 * is_),
                        jnp.float32),
+            pltpu.SMEM((3 * rows,), jnp.int32),   # fetch-window tile base
+            pltpu.SMEM((rows,), jnp.int32),       # window-fits flag
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),

@@ -227,3 +227,36 @@ def test_csr_reduction_matches_global_gradients():
         np.testing.assert_allclose(b, a, rtol=1e-4, atol=scale * 1e-5,
                                    err_msg=name)
         assert np.abs(a).max() > 0
+
+
+def test_outsweep_windowed_fetch_matches_dense():
+    """is >= 256 activates the per-edge windowed record fetch (with
+    per-row full-width fallback); gradients must match the dense/exact
+    out-sweep.  TPU only (the kernel is TPU-gated)."""
+    if jax.default_backend() != 'tpu':
+        return
+    is_ = 256
+    fc = _scene(is_)
+    s_kernel = RasterizeSettings(
+        image_size=is_, return_rgb=False, return_alpha=True,
+        return_depth=False, runtime_checks=False, grad_out_cap=8192,
+        grad_row_cap=256)
+    fim, _ = jax.jit(
+        lambda f: forward_xla.forward_face_index_map(s_kernel, f))(fc)
+    face_w = jax.jit(forward_xla.gather_face_rows)(fc, fim)
+    alpha = (fim >= 0).astype(jnp.float32)
+    rgbm = jnp.zeros(alpha.shape + (3,))
+    ga = jax.random.normal(jax.random.PRNGKey(11), alpha.shape)
+    grgb = jnp.zeros_like(rgbm)
+
+    def grad_with(s):
+        return jax.jit(lambda: backward.grad_faces_pixel_map(
+            s, fc, fim, face_w, rgbm, alpha, grgb, ga))()
+
+    g_kernel = np.asarray(grad_with(s_kernel))
+    s_dense = dataclasses.replace(s_kernel, grad_out_cap=None)
+    g_dense = np.asarray(grad_with(s_dense))
+    scale = np.abs(g_dense).max() + 1e-9
+    np.testing.assert_allclose(g_kernel, g_dense, rtol=1e-4,
+                               atol=scale * 1e-5)
+    assert np.abs(g_dense).max() > 0
