@@ -197,23 +197,26 @@ def _flush_strip(store, stage_ref, nplanes, p, rows, nx):
     y in [g*rows, (g+1)*rows), x in [w*p, (w+1)*p)."""
     groups = _CHUNK // p
 
-    def piece(w, j, g):
-        plane = stage_ref[w][j * rows:(j + 1) * rows, :]     # [rows, 128]
-        # rotate lane group g to offset 0 before slicing: Mosaic refuses
-        # concatenates whose operands carry mismatched physical lane
-        # offsets, and a plain value slice keeps its source offset
-        if g:
-            plane = pltpu.roll(plane, _CHUNK - g * p, 1)
-        return plane[:, :p]
+    # rotate whole staged slabs (one roll per (patch, lane group) instead
+    # of per plane): Mosaic refuses concatenates whose operands carry
+    # mismatched physical lane offsets, and a plain value slice keeps its
+    # source offset — offset-0 [*, p] pieces come from slicing a rotated
+    # full-width slab
+    bands = {}
+    for g in range(groups):
+        parts = []
+        for w in range(nx):
+            slab = stage_ref[w][...]                         # [P, 128]
+            if g:
+                slab = pltpu.roll(slab, _CHUNK - g * p, 1)
+            parts.append(slab[:, :p])
+        bands[g] = (parts[0] if nx == 1
+                    else jnp.concatenate(parts, axis=1))     # [P, nx*p]
 
     for j in range(nplanes):
-        bands = []
-        for g in range(groups):
-            parts = [piece(w, j, g) for w in range(nx)]
-            bands.append(parts[0] if nx == 1
-                         else jnp.concatenate(parts, axis=1))
-        store(j, bands[0] if groups == 1
-              else jnp.concatenate(bands, axis=0))
+        rows_g = [bands[g][j * rows:(j + 1) * rows, :] for g in range(groups)]
+        store(j, rows_g[0] if groups == 1
+              else jnp.concatenate(rows_g, axis=0))
 
 
 def _pixel_coords(p, rows, iy, ix, shape, sub_dim, lane_dim, sub0=None):
