@@ -54,6 +54,15 @@ def run():
     renderer.light_intensity_directional = 0.0
     renderer.light_intensity_ambient = 1.0
 
+    # geometry is fixed and poses come from the azimuth ring, so the
+    # per-scene tuner can switch on the fast compacted/CSR backward paths
+    # with capacities provably covering the whole ring (margin absorbs
+    # the random azimuths between measured ones)
+    nr.tune(renderer, vertices, faces,
+            eyes=[nr.get_points_from_angles(
+                np.float32(2.732), np.float32(0), np.float32(a))
+                for a in range(0, 360, 15)])
+
     def loss_fn(m, eye):
         renderer.eye = eye
         image = renderer.render(m.vertices[None], m.faces[None],
