@@ -29,7 +29,15 @@ _NORMALIZE_EPS = 1e-5
 
 
 def _normalize(x, axis=-1):
-    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=axis, keepdims=True))
+    sumsq = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    # sqrt has an infinite derivative at 0, and JAX autodiff turns the
+    # 0 * inf at a zero vector into nan — which real scanned meshes hit
+    # through lighting's face normals on zero-area faces.  The double-
+    # where keeps the forward bit-identical and makes the VJP at zero
+    # gy / eps, exactly chainer F.normalize's analytic backward limit
+    # (the reference's behavior).
+    safe = jnp.where(sumsq > 0, sumsq, 1.0)
+    norm = jnp.where(sumsq > 0, jnp.sqrt(safe), 0.0)
     return x / (norm + _NORMALIZE_EPS)
 
 
