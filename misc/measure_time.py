@@ -22,6 +22,14 @@ import tqdm
 import neural_renderer_tpu as nr
 
 
+def _sync(tree):
+    """Force completion via a tiny np.asarray readback.  NOT
+    jax.block_until_ready: on this platform's tunneled TPU runtime its
+    polling path measures ~500 ms regardless of the work (NOTES.md), while
+    an element readback costs one link round trip."""
+    _ = np.asarray(jax.tree.leaves(tree)[0].ravel()[0])
+
+
 def run():
     parser = argparse.ArgumentParser()
     parser.add_argument('-i', '--filename_input', type=str,
@@ -66,11 +74,11 @@ def run():
             np.float32(azimuth)))
         t0 = time.time()
         images = fwd_sil(vertices, eye)
-        jax.block_until_ready(images)
+        _sync(images)
         times_forward.append(time.time() - t0)
         t0 = time.time()
         g = bwd_sil(vertices, eye)
-        jax.block_until_ready(g)
+        _sync(g)
         times_backward.append(time.time() - t0)
 
     print('silhouette forward time: %.3f ms' %
@@ -96,11 +104,11 @@ def run():
             np.float32(azimuth)))
         t0 = time.time()
         images = fwd_rgb(vertices, textures, eye)
-        jax.block_until_ready(images)
+        _sync(images)
         times_forward.append(time.time() - t0)
         t0 = time.time()
         g = bwd_rgb(vertices, textures, eye)
-        jax.block_until_ready(g)
+        _sync(g)
         times_backward.append(time.time() - t0)
 
     print('texture forward time: %.3f ms' %

@@ -45,6 +45,11 @@ def adam(alpha=0.001, beta1=0.9, beta2=0.999, eps=1e-8, lr_scales=None):
 
         def leaf(g, m, v, scale):
             active = g != 0.0          # optimizers.py:23 'if (grad != 0.0)'
+            # the reference skips the WHOLE kernel when the effective lr is
+            # zero — m and v stay frozen too (optimizers.py:17-18
+            # 'lr = self.lr * param.lr; if lr != 0:'), not just the applied
+            # update.  Matters if a per-param lr is re-enabled mid-run.
+            active = active & (jnp.asarray(scale) != 0.0)
             m_new = jnp.where(active, m + (1 - beta1) * (g - m), m)
             v_new = jnp.where(active, v + (1 - beta2) * (g * g - v), v)
             v_new = jnp.maximum(v_new, 0.0)

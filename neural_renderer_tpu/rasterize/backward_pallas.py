@@ -219,7 +219,11 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
     # object's x-range — when each edge's span fits _WINT lane-tiles, the
     # record fetch contracts 3 x _WINT tiles instead of all 3*is lanes
     # (the fetch is the kernel's dominant cost, ~12 MXU K-tiles/row)
-    windowed = is_ >= _WINT * 2 * _LANE
+    # the window clamp and span test assume lane-tile-aligned rows; a
+    # non-128-multiple is_ could let a record in the partial last tile pass
+    # the span check yet fall outside the clipped window (supported_outsweep
+    # already requires is_ % 128 == 0 — this gate is belt-and-suspenders)
+    windowed = is_ % _LANE == 0 and is_ >= _WINT * 2 * _LANE
     winl = _WINT * _LANE
 
     c = pl.program_id(2)

@@ -230,12 +230,17 @@ def test_csr_reduction_matches_global_gradients():
 
 
 def test_outsweep_windowed_fetch_matches_dense():
-    """is >= 256 activates the per-edge windowed record fetch (with
-    per-row full-width fallback); gradients must match the dense/exact
-    out-sweep.  TPU only (the kernel is TPU-gated)."""
+    """is >= _WINT*2*128 = 512 activates the per-edge windowed record
+    fetch (with per-row full-width fallback); gradients must match the
+    dense/exact out-sweep.  TPU only (the kernel is TPU-gated).
+
+    512 (not 256) is load-bearing: at 256 the kernel silently takes the
+    full-width fallback for every row and the windowed path goes untested.
+    """
     if jax.default_backend() != 'tpu':
         return
-    is_ = 256
+    is_ = 512
+    assert is_ >= backward_pallas._WINT * 2 * backward_pallas._LANE
     fc = _scene(is_)
     s_kernel = RasterizeSettings(
         image_size=is_, return_rgb=False, return_alpha=True,
