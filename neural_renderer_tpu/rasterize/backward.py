@@ -255,12 +255,146 @@ def face_segments(settings, faces, face_index_map):
         bs * nf)
 
 
+def _sweep_stats(settings, covered, ppx, ppy, xi, yi):
+    """Runtime capacity requirements of THIS scene for the auto fast path:
+    (max in-sweep out-pixel offset over active pixels, max active out-sweep
+    crossings in any single row/column).  A few fused elementwise passes
+    over the maps (~ms) — the price of making the kernel fast paths the
+    default without a tuning step."""
+    is_ = settings.image_size
+    off_worst = jnp.float32(0.0)
+    row_tot = {0: 0, 1: 0}
+    for e, a in _EA:
+        X, Y = _edge_coords(ppx, ppy, e, a)
+        d0 = xi if a == 0 else yi
+        d1 = yi if a == 0 else xi
+        cr = _crossing(settings, X, Y, a, d0)
+        lim = _in_limit(settings, X, Y, d0, cr['direction'])
+        lo2 = jnp.maximum(jnp.minimum(cr['d1_in'], lim), 0.0)
+        hi2 = jnp.minimum(jnp.maximum(cr['d1_in'], lim), is_ - 1.0)
+        act_in = covered & cr['valid'] & (d1 >= lo2) & (d1 <= hi2)
+        off_worst = jnp.maximum(off_worst, jnp.max(jnp.where(
+            act_in, jnp.abs(cr['d1_out'] - d1), 0.0)))
+        act_out = covered & cr['valid'] & (cr['d1_in'] == d1)
+        row_tot[a] = row_tot[a] + act_out.sum(
+            axis=2 if a == 0 else 1, dtype=jnp.int32)
+    row_worst = jnp.maximum(row_tot[0].max(), row_tot[1].max())
+    return off_worst, row_worst
+
+
+def _auto_channels(settings, faces, face_index_map, face_w, rgb_map,
+                   alpha_map, grad_rgb_map, grad_alpha_map):
+    """Auto fast path: Pallas in/out-sweep kernels at static auto
+    capacities, each under a runtime exactness guard (lax.cond) that falls
+    back to the capacity-free XLA path when the scene exceeds the
+    capacity.  Returns the stacked 12 channels (extra is always None)."""
+    import dataclasses
+
+    from neural_renderer_tpu.rasterize import backward_pallas
+    from neural_renderer_tpu.rasterize import config as rconfig
+
+    bs, nf = faces.shape[:2]
+    is_ = settings.image_size
+    covered = face_index_map >= 0
+    ppx = geometry.to_pixel_coords(face_w[..., 0], is_)
+    ppy = geometry.to_pixel_coords(face_w[..., 1], is_)
+    yi = jnp.broadcast_to(
+        jnp.arange(is_, dtype=jnp.float32)[None, :, None], (bs, is_, is_))
+    xi = jnp.broadcast_to(
+        jnp.arange(is_, dtype=jnp.float32)[None, None, :], (bs, is_, is_))
+
+    radius = rconfig.auto_offset_radius(is_)
+    s_in = dataclasses.replace(settings, grad_offset_radius=radius)
+    off_worst, row_worst = _sweep_stats(settings, covered, ppx, ppy, xi, yi)
+
+    def in_kernel(_):
+        chans = [None] * 6
+        for a in (0, 1):
+            six = backward_pallas.insweep_channels(
+                s_in, a, ppx, ppy, alpha_map, grad_alpha_map,
+                rgb_map if settings.return_rgb else None,
+                grad_rgb_map if settings.return_rgb else None)
+            for e in range(3):
+                chans[_EA.index((e, a))] = (six[2 * e], six[2 * e + 1])
+        return jnp.stack([c for pair in chans for c in pair], axis=-1)
+
+    def in_xla(_):
+        chans = []
+        for e, a in _EA:
+            X, Y = _edge_coords(ppx, ppy, e, a)
+            d0 = xi if a == 0 else yi
+            d1 = yi if a == 0 else xi
+            cr = _crossing(settings, X, Y, a, d0)
+            lim = _in_limit(settings, X, Y, d0, cr['direction'])
+            lo2 = jnp.maximum(jnp.minimum(cr['d1_in'], lim), 0.0)
+            hi2 = jnp.minimum(jnp.maximum(cr['d1_in'], lim), is_ - 1.0)
+            act_in = covered & cr['valid'] & (d1 >= lo2) & (d1 <= hi2)
+            dg = jnp.zeros_like(d0)
+            if settings.return_alpha:
+                a_out = _out_pixel_values(settings, alpha_map, a,
+                                          cr['d1_out'], d1, d0)
+                dg = dg + (alpha_map - a_out) * grad_alpha_map
+            if settings.return_rgb:
+                rgb_out = _out_pixel_values(settings, rgb_map, a,
+                                            cr['d1_out'], d1, d0)
+                dg = dg + jnp.sum((rgb_map - rgb_out) * grad_rgb_map,
+                                  axis=-1)
+            delta = d1 - cr['d1_cross']
+            c0, c1 = _dist_contrib(settings, dg, delta, X[0], X[1], d0)
+            chans.append((jnp.where(act_in, c0, 0.0),
+                          jnp.where(act_in, c1, 0.0)))
+        return jnp.stack([c for pair in chans for c in pair], axis=-1)
+
+    def out_kernel(_):
+        s1_map = jnp.zeros_like(alpha_map)
+        if settings.return_alpha:
+            s1_map = s1_map + alpha_map * grad_alpha_map
+        if settings.return_rgb:
+            s1_map = s1_map + jnp.sum(rgb_map * grad_rgb_map, axis=-1)
+        chans = [None] * 6
+        for a in (0, 1):
+            six = backward_pallas.outsweep_channels(
+                settings, a, ppx, ppy, alpha_map, s1_map, grad_alpha_map,
+                grad_rgb_map if settings.return_rgb else None,
+                rgb_map if settings.return_rgb else None,
+                row_cap=settings.grad_row_cap)
+            for e in range(3):
+                chans[_EA.index((e, a))] = (six[2 * e], six[2 * e + 1])
+        return jnp.stack([c for pair in chans for c in pair], axis=-1)
+
+    def out_dense(_):
+        chans = []
+        for e, a in _EA:
+            X, Y = _edge_coords(ppx, ppy, e, a)
+            d0 = xi if a == 0 else yi
+            d1 = yi if a == 0 else xi
+            cr = _crossing(settings, X, Y, a, d0)
+            act_out = covered & cr['valid'] & (cr['d1_in'] == d1)
+            chans.append(_out_sweep(settings, a, act_out, cr, X, d0,
+                                    alpha_map, rgb_map, grad_rgb_map,
+                                    grad_alpha_map))
+        return jnp.stack([c for pair in chans for c in pair], axis=-1)
+
+    in12 = jax.lax.cond(off_worst <= radius, in_kernel, in_xla, 0)
+    out12 = jax.lax.cond(row_worst <= settings.grad_row_cap, out_kernel,
+                         out_dense, 0)
+    return in12 + out12, None
+
+
 def pixel_map_channels(settings, faces, face_index_map, face_w, rgb_map,
                        alpha_map, grad_rgb_map, grad_alpha_map):
     """K5 per-pixel contributions: 12 channels (c0, c1 per edge x axis) to
     be segment-reduced by the caller, plus an already-reduced extra grad
     from the compacted out-sweep (or None when the out-sweep is dense —
     then it's folded into the channels)."""
+    from neural_renderer_tpu.rasterize import backward_pallas
+    if (settings.auto_fast
+            and settings.grad_offset_radius is None
+            and settings.grad_out_cap is None
+            and backward_pallas.supported_outsweep(settings)):
+        return _auto_channels(settings, faces, face_index_map, face_w,
+                              rgb_map, alpha_map, grad_rgb_map,
+                              grad_alpha_map)
     bs, nf = faces.shape[:2]
     is_ = settings.image_size
     covered = face_index_map >= 0

@@ -82,6 +82,20 @@ class RasterizeSettings:
     # check; set False for maximum-throughput production loops *after*
     # validating the scene.
     runtime_checks: bool = True
+    # Automatic fast-path selection: with backend 'auto' on TPU, capacity
+    # knobs left at None get static auto capacities (auto_offset_radius /
+    # auto_csr_rows below; grad_row_cap) and the Pallas backward kernels +
+    # CSR reduction run under runtime exactness guards — a lax.cond per
+    # capacity measures the scene's actual requirement on-device and falls
+    # back to the capacity-free exact path whenever the auto capacity would
+    # drop work.  Fast by default, never silently wrong (the guard is
+    # structural, unlike runtime_checks warnings, which some platforms
+    # cannot even deliver).  The reference contract is a plain
+    # ``Renderer().render`` with no tuning step (renderer.py:75-107);
+    # ``nr.tune`` remains the optimum (exact-fit capacities, no guard
+    # arithmetic).  False = knobs left at None mean the dense/exact paths
+    # (the pre-round-3 behavior).
+    auto_fast: bool = True
 
     def validate(self):
         if not (self.return_rgb or self.return_alpha or self.return_depth):
@@ -90,3 +104,30 @@ class RasterizeSettings:
         if self.backend not in ('xla', 'pallas', 'auto'):
             raise ValueError(f'unknown backend {self.backend!r}')
         return self
+
+
+def auto_offset_radius(image_size):
+    """Static in-sweep roll radius for the auto fast path.
+
+    The requirement is the largest covered face's pixel span along an axis
+    (``backward.max_out_offset``); kernel cost is linear in the radius
+    (2R+1 roll steps).  The teapot needs 33 at 512^2 / 16 at 256^2
+    (measured); is/12 covers both with margin while keeping the default
+    in-sweep within ~25% of a tuned exact-fit radius.
+    """
+    return max(16, image_size // 12)
+
+
+def auto_csr_rows(image_size, batch_size):
+    """Static CSR row capacity for the auto fast path.
+
+    The requirement is ``sum_patches ceil(binned_count/128) + 1`` chunks
+    (``forward_pallas.csr_rows_needed``); the teapot needs ~73 chunks per
+    batch element at 512^2 (nt=256 patches, ~half empty) and ~47 at 256^2
+    (nt=64).  nt/2 + 32 chunks per element covers both with >= 1.3x
+    margin; over-provision costs segment_sum rows (~20ns/row) and skipped
+    grid steps, both modest next to the ~170 ms global reduction this
+    replaces.
+    """
+    nt = max(1, image_size // 32) ** 2
+    return 128 * batch_size * (nt // 2 + 32)

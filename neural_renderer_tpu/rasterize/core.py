@@ -41,7 +41,8 @@ def _xla_forward_maps(settings, faces, textures, fuse_rgb):
 
 
 def _pallas_forward_maps(settings, faces, textures, fuse_rgb,
-                         prefix_counts=None, allow_csr=True):
+                         prefix_counts=None, allow_csr=True,
+                         want_zraw=False):
     import dataclasses
 
     from neural_renderer_tpu.rasterize import forward_pallas
@@ -64,10 +65,70 @@ def _pallas_forward_maps(settings, faces, textures, fuse_rgb,
                 depth_map=out['depth_map'])
     if fuse_rgb:
         maps['rgb_raw'] = out['rgb'].transpose(0, 2, 3, 1)
-    for key in ('csr_pos', 'csr_gseg', 'csr_counts', 'csr_base'):
+    if want_zraw:
+        maps['zraw'] = out['zraw']
+    for key in ('csr_pos', 'csr_gseg', 'csr_counts', 'csr_base',
+                'csr_valid'):
         if key in out:
             maps[key] = out[key]
     return maps
+
+
+def _pallas_multipass_maps(settings, faces, textures, fuse_rgb):
+    """Pallas forward for meshes beyond the per-pass VMEM face budget: one
+    pass per contiguous face slice, merged on the kernel's raw min-z state
+    (strict < keeps the earlier slice's winner on ties — the reference's
+    sequential first-wins order over the full face list,
+    rasterize.py:300,334).  CSR artifacts are single-pass-only; the
+    backward uses the global segment reduction here."""
+    import dataclasses
+
+    from neural_renderer_tpu.rasterize import forward_pallas
+    settings = dataclasses.replace(settings, grad_csr_rows=None)
+    s = forward_pallas.slice_size(forward_pallas._NFEAT + (
+        textures.shape[2] ** 3 * 3 if fuse_rgb else 0))
+    nf = faces.shape[1]
+
+    def sel(better, new, old):
+        extra = (Ellipsis,) + (None,) * (old.ndim - better.ndim)
+        return jnp.where(better[extra], new, old)
+
+    merged = None
+    for lo in range(0, nf, s):
+        m = _pallas_forward_maps(
+            settings, faces[:, lo:lo + s],
+            textures[:, lo:lo + s] if fuse_rgb else textures,
+            fuse_rgb, want_zraw=True)
+        m['face_index_map'] = jnp.where(
+            m['face_index_map'] >= 0, m['face_index_map'] + lo, -1)
+        if merged is None:
+            merged = m
+        else:
+            better = m['zraw'] < merged['zraw']
+            merged = {k: sel(better, m[k], merged[k]) for k in merged}
+    del merged['zraw']
+    return merged
+
+
+def _sentinel_csr(s_csr, faces, counts, capacity):
+    """Shape/dtype/vma-matched CSR placeholders for the XLA fallback branch
+    of the auto forward cond.  Values are never consumed: whenever this
+    branch runs, ``csr_valid`` is False and the backward routes to the
+    global segment reduction — only the cond's structural matching needs
+    these arrays."""
+    from neural_renderer_tpu.rasterize import forward_pallas
+    bs, nf = faces.shape[:2]
+    p = forward_pallas._patch_dim(s_csr)
+    t = s_csr.image_size // p
+    rows = (p * p) // forward_pallas._CHUNK
+    clamped = jnp.minimum(counts, capacity)
+    base, lc = forward_pallas.csr_base(s_csr, clamped)
+    vary = (faces.ravel()[0] * 0.0).astype(jnp.int32)   # carries vma
+    pos = jnp.full((bs, t, t, rows, forward_pallas._CHUNK), capacity,
+                   jnp.int32) + vary
+    gseg = jnp.full((lc * forward_pallas._CHUNK,), bs * nf, jnp.int32) + vary
+    return dict(csr_pos=pos, csr_gseg=gseg, csr_counts=clamped,
+                csr_base=base)
 
 
 def _forward_maps(settings, faces, textures):
@@ -78,10 +139,16 @@ def _forward_maps(settings, faces, textures):
     binned kernel's capacity test runs at RUN time and overflowing scenes
     fall back to the capacity-free XLA path via ``lax.cond`` — auto is
     never silently wrong (an explicit cap means the user opted into the
-    cap, and gets the runtime_checks warning instead)."""
-    # the kernel fuses the whole K4 texture lookup only for ts=2 cubes
-    # (texels ride the feature table); other sizes sample via XLA gathers
-    fuse_rgb = settings.return_rgb and textures.shape[2] == 2
+    cap, and gets the runtime_checks warning instead).  With ``auto_fast``
+    (and no explicit ``grad_csr_rows``), the Pallas branch additionally
+    emits CSR artifacts at the static ``auto_csr_rows`` capacity and the
+    bundle carries a runtime ``csr_valid`` flag — the backward's CSR face
+    reduction engages only when the scene provably fits."""
+    # the kernel fuses the whole K4 texture lookup for small cubes (texels
+    # ride the feature table; the finalize shades via a per-axis hat
+    # product) — ts <= 4 covers the reference Mesh default ts=4
+    # (reference mesh.py:21).  Bigger cubes sample via XLA gathers.
+    fuse_rgb = settings.return_rgb and textures.shape[2] <= 4
 
     if settings.backend == 'xla':
         return _xla_forward_maps(settings, faces, textures, fuse_rgb)
@@ -92,21 +159,67 @@ def _forward_maps(settings, faces, textures):
         except ImportError:
             ok = False
         if ok:
+            nfeat = forward_pallas._NFEAT + (
+                textures.shape[2] ** 3 * 3 if fuse_rgb else 0)
+            if faces.shape[1] > forward_pallas.slice_size(nfeat):
+                # large mesh: multi-pass z-merged forward.  Under 'auto'
+                # the per-slice binning capacities get the same runtime
+                # guard as single-pass — overflow falls back to the
+                # capacity-free oracle.
+                if settings.backend == 'auto':
+                    fits = forward_pallas.multipass_fits(
+                        settings, faces, forward_pallas.slice_size(nfeat))
+                    return jax.lax.cond(
+                        fits,
+                        lambda f, t: _pallas_multipass_maps(
+                            settings, f, t, fuse_rgb),
+                        lambda f, t: _xla_forward_maps(
+                            settings, f, t, fuse_rgb),
+                        faces, textures)
+                return _pallas_multipass_maps(settings, faces, textures,
+                                              fuse_rgb)
             if (settings.backend == 'auto'
                     and settings.faces_per_tile_cap is None):
+                import dataclasses
+
+                from neural_renderer_tpu.rasterize import config as rconfig
                 prefix_counts = forward_pallas._membership_prefix(
                     settings, faces)
                 capacity = forward_pallas.chunk_capacity(
                     settings, faces.shape[1])
-                fits = prefix_counts[1].max() <= capacity
-                return jax.lax.cond(
+                counts = prefix_counts[1]
+                fits = counts.max() <= capacity
+                auto_csr = (settings.auto_fast
+                            and settings.grad_csr_rows is None)
+                if not auto_csr:
+                    return jax.lax.cond(
+                        fits,
+                        lambda f, t, pc: _pallas_forward_maps(
+                            settings, f, t, fuse_rgb, prefix_counts=pc,
+                            allow_csr=False),
+                        lambda f, t, pc: _xla_forward_maps(
+                            settings, f, t, fuse_rgb),
+                        faces, textures, prefix_counts)
+                s_csr = dataclasses.replace(
+                    settings,
+                    grad_csr_rows=rconfig.auto_csr_rows(
+                        settings.image_size, faces.shape[0]))
+                clamped = jnp.minimum(counts, capacity)
+                needed = (jnp.sum((clamped + forward_pallas._CHUNK - 1)
+                                  // forward_pallas._CHUNK) + 1
+                          ) * forward_pallas._CHUNK
+                csr_ok = fits & (needed <= s_csr.grad_csr_rows)
+                maps = jax.lax.cond(
                     fits,
                     lambda f, t, pc: _pallas_forward_maps(
-                        settings, f, t, fuse_rgb, prefix_counts=pc,
-                        allow_csr=False),
-                    lambda f, t, pc: _xla_forward_maps(
-                        settings, f, t, fuse_rgb),
+                        s_csr, f, t, fuse_rgb, prefix_counts=pc,
+                        allow_csr=True),
+                    lambda f, t, pc: dict(
+                        _xla_forward_maps(settings, f, t, fuse_rgb),
+                        **_sentinel_csr(s_csr, f, pc[1], capacity)),
                     faces, textures, prefix_counts)
+                maps['csr_valid'] = csr_ok
+                return maps
             return _pallas_forward_maps(settings, faces, textures, fuse_rgb)
         if settings.backend == 'pallas':
             raise ValueError('pallas backend requested but unsupported for '
@@ -167,7 +280,8 @@ def _forward_all(settings, faces, textures, background):
                face_index_map=face_index_map, weight_map=weight_map,
                depth_map=depth_map, face_inv_map=face_inv_map,
                rgb_map=rgb_map, alpha_map=alpha_map)
-    for key in ('csr_pos', 'csr_gseg', 'csr_counts', 'csr_base'):
+    for key in ('csr_pos', 'csr_gseg', 'csr_counts', 'csr_base',
+                'csr_valid'):
         if key in maps:
             res[key] = maps[key]
 
@@ -240,24 +354,43 @@ def _bwd(settings, res, cotangents):
         # lowers to scalar loops) or remats them as [bs,is,is,1] copies
         # that lane-pad 128x and blow HBM (observed: 84G of temps)
         fused = jax.lax.optimization_barrier(fused)
-        if 'csr_pos' in res:
+
+        def _csr_reduce(fused):
             # per-patch partial face sums (one-hot MXU against the
             # forward's binning lists), then a segment_sum over just the
             # CSR face-incidence rows instead of every pixel
+            import dataclasses
+
             from neural_renderer_tpu.rasterize import (backward_pallas,
+                                                       config as rconfig,
                                                        forward_pallas)
+            s = settings
+            if s.grad_csr_rows is None:   # auto fast path: static auto rows
+                s = dataclasses.replace(s, grad_csr_rows=rconfig.auto_csr_rows(
+                    s.image_size, bs))
             partials = backward_pallas.csr_partial_channels(
-                settings, fused, res['csr_pos'], res['csr_counts'],
-                res['csr_base'], forward_pallas.chunk_capacity(settings, nf))
-            total = jax.ops.segment_sum(
+                s, fused, res['csr_pos'], res['csr_counts'],
+                res['csr_base'], forward_pallas.chunk_capacity(s, nf))
+            return jax.ops.segment_sum(
                 partials, res['csr_gseg'],
                 num_segments=bs * nf + 1)[:-1]
-        else:
+
+        def _global_reduce(fused):
             seg_flat = bwd.face_segments(
                 settings, faces, res['face_index_map']).reshape(-1)
-            total = jax.ops.segment_sum(
+            return jax.ops.segment_sum(
                 fused.reshape(-1, fused.shape[-1]), seg_flat,
                 num_segments=bs * nf + 1)[:-1]
+
+        if 'csr_pos' in res and 'csr_valid' in res:
+            # auto fast path: the forward measured the scene's CSR needs;
+            # reduce over the CSR rows only when it provably fits
+            total = jax.lax.cond(res['csr_valid'], _csr_reduce,
+                                 _global_reduce, fused)
+        elif 'csr_pos' in res:
+            total = _csr_reduce(fused)
+        else:
+            total = _global_reduce(fused)
         off = 0
         for name, c in channels:
             width = c.shape[-1]

@@ -62,6 +62,18 @@ def _warn_overflow(max_count, cap):
             'those patches.  Raise faces_per_tile_cap (or pass '
             "backend='xla', which has no capacity limits).")
 
+
+def _warn_csr_overflow(needed_chunks, data_chunks):
+    if int(needed_chunks) > int(data_chunks):
+        warnings.warn(
+            f'pallas rasterizer: the scene needs {int(needed_chunks)} CSR '
+            f'face chunks but grad_csr_rows provides {int(data_chunks)} '
+            '(plus the dump chunk) — overflow chunks clamp into the dump '
+            'chunk and face/texture gradients silently lose those faces\' '
+            'contributions.  Raise grad_csr_rows (validate with '
+            'forward_pallas.csr_rows_needed) or set it to None (global '
+            'segment reduction, no capacity).')
+
 # transposed face-feature table layout (lane axis):
 # 0:x0 1:y0 2:x1 3:y1 4:x2 5:y2 (NDC xy), 6:z0 7:z1 8:z2,
 # 9..17: face_inv rows, 18: face id + 1 (0 = empty),
@@ -84,16 +96,40 @@ def _patch_dim(settings):
     return min(32, settings.image_size)
 
 
+def slice_size(nfeat=_NFEAT):
+    """Max faces per kernel pass: the transposed feature table must stay
+    VMEM-resident ([nf_pad sublanes x lane-padded nfeat] f32, 8 MB budget).
+    Larger meshes run as multiple passes over contiguous face-index slices
+    whose z-buffers merge exactly (see forward_face_index_map) — the
+    counterpart of the reference K3's unbounded per-pixel face loop
+    (rasterize.py:300)."""
+    lanes = -(-nfeat // _CHUNK) * _CHUNK
+    return (_VMEM_TABLE_LIMIT // (lanes * 4) // _CHUNK) * _CHUNK
+
+
 def supported(settings, faces):
+    del faces  # any face count: > slice_size() runs multi-pass
     if jax.default_backend() != 'tpu':
         return False
     p = _patch_dim(settings)
     if settings.image_size % p or (p * p) % _CHUNK:
         return False
-    nf_pad = -(-faces.shape[1] // _CHUNK) * _CHUNK
-    if nf_pad * _CHUNK * 4 > _VMEM_TABLE_LIMIT:   # lanes pad 24 -> 128
-        return False          # feature table must stay VMEM-resident
     return True
+
+
+def multipass_fits(settings, faces, s=None):
+    """Runtime bool: every face slice's binned patch counts fit the per-
+    slice chunk capacity (the multi-pass analogue of the single-pass auto
+    guard in core).  ``s`` must match the render's slice size (nfeat-
+    dependent when texels ride the feature table)."""
+    nf = faces.shape[1]
+    s = slice_size() if s is None else s
+    fits = jnp.bool_(True)
+    for lo in range(0, nf, s):
+        sl = faces[:, lo:lo + s]
+        _, counts = _membership_prefix(settings, sl)
+        fits = fits & (counts.max() <= chunk_capacity(settings, sl.shape[1]))
+    return fits
 
 
 def _face_tile_ranges(settings, faces):
@@ -153,9 +189,10 @@ def _membership_prefix(settings, faces):
 def _feature_table(settings, faces, textures=None):
     """Transposed per-face features [bs, nfeat, nf_pad] (see layout above).
 
-    With ``textures`` (``[bs, nf, 2, 2, 2, 3]``), the 24 ts=2 texel values
-    ride along as extra feature lanes — free, because the 19 base features
-    already lane-pad to 128 in VMEM, and it lets the kernel emit the final
+    With ``textures`` (``[bs, nf, ts, ts, ts, 3]``), the ts^3*3 texel
+    values ride along as extra feature lanes (free for ts=2: the 19 base
+    features already lane-pad to 128 in VMEM; ts=4 pads to 256 lanes and
+    halves the per-pass face budget), letting the kernel emit the final
     shaded rgb without any per-pixel texture gather."""
     bs, nf = faces.shape[:2]
     is_ = settings.image_size
@@ -177,8 +214,8 @@ def _feature_table(settings, faces, textures=None):
         jnp.broadcast_to(fid1, (bs, nf, 1)),
     ]
     if textures is not None:
-        parts.append(textures.reshape(bs, nf, 24))
-    feat = jnp.concatenate(parts, axis=-1)       # [bs, nf, 19(+24)]
+        parts.append(textures.reshape(bs, nf, -1))   # ts^3 * 3 texel lanes
+    feat = jnp.concatenate(parts, axis=-1)       # [bs, nf, 19(+ts^3*3)]
     # faces on sublanes, features on lanes: the kernel contracts the face
     # axis directly (dot_general ((0,), (1,))), no transposes anywhere.
     return jnp.pad(feat, ((0, 0), (0, nf_pad - nf), (0, 0)))
@@ -354,8 +391,30 @@ def forward_face_index_map(settings, faces, interpret=False,
     """Patch-binned Pallas forward -> (face_index_map int32, depth f32).
 
     prefix_counts: optional precomputed ``_membership_prefix`` result (the
-    auto-fallback path in core shares it with its overflow test)."""
+    auto-fallback path in core shares it with its overflow test).
+
+    Meshes beyond ``slice_size()`` faces run one pass per contiguous face
+    slice; the returned depth IS the kernel's raw min-z state (far where
+    uncovered), so the cross-pass merge compares exactly the quantity the
+    in-kernel z test compares.  Strict ``<`` keeps the earlier slice's
+    (lower-id) winner on exact ties — together with the in-slice lowest-id
+    rule this reproduces the reference's sequential first-wins order
+    (rasterize.py:334) for ANY face count."""
     bs, nf = faces.shape[:2]
+    s = slice_size()
+    if prefix_counts is None and nf > s:
+        idx = depth = None
+        for lo in range(0, nf, s):
+            i_p, d_p = forward_face_index_map(settings, faces[:, lo:lo + s],
+                                              interpret)
+            i_p = jnp.where(i_p >= 0, i_p + lo, -1)
+            if idx is None:
+                idx, depth = i_p, d_p
+            else:
+                better = d_p < depth
+                idx = jnp.where(better, i_p, idx)
+                depth = jnp.where(better, d_p, depth)
+        return idx, depth
     is_ = settings.image_size
     p = _patch_dim(settings)
     t = is_ // p
@@ -410,8 +469,8 @@ def forward_face_index_map(settings, faces, interpret=False,
     return idx_p, depth_p
 
 
-def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb, nf, bs,
-                   *refs):
+def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb, ts,
+                   nf, bs, *refs):
     """Shader-style forward: z-buffer + winner attribute/texel emission.
 
     Tracks the winner's patch-list POSITION across face chunks, appends
@@ -429,12 +488,12 @@ def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb, nf, bs,
     csr = settings.grad_csr_rows is not None
     if csr:
         (counts_ref, base_ref, featT_ref, prefix_ref,
-         idx_ref, depth_ref, w_ref, xy_ref, z_ref, rgb_ref,
+         idx_ref, depth_ref, w_ref, xy_ref, z_ref, rgb_ref, zraw_ref,
          posout_ref, gseg_ref, pos_ref, zmin_ref, flist_ref,
          fstage_ref, istage_ref) = refs
     else:
         (counts_ref, featT_ref, prefix_ref,
-         idx_ref, depth_ref, w_ref, xy_ref, z_ref, rgb_ref,
+         idx_ref, depth_ref, w_ref, xy_ref, z_ref, rgb_ref, zraw_ref,
          pos_ref, zmin_ref, flist_ref, fstage_ref, istage_ref) = refs
     is_ = settings.image_size
     b = pl.program_id(0)
@@ -526,10 +585,13 @@ def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb, nf, bs,
         if csr:
             posout_ref[0, 0, 0] = jnp.full((rows, _CHUNK), cap, jnp.int32)
         istage_ref[ix] = jnp.full((rows, _CHUNK), -1, jnp.int32)
-        nfp = 13 + (3 if with_rgb else 0)
+        nfp = 14 + (3 if with_rgb else 0)
         fstage_ref[ix] = jnp.concatenate(
             [jnp.full((rows, _CHUNK), far, jnp.float32),
-             jnp.zeros(((nfp - 1) * rows, _CHUNK), jnp.float32)], axis=0)
+             jnp.zeros(((nfp - 2) * rows, _CHUNK), jnp.float32),
+             # zraw plane: +inf = "no candidate", so any later slice's
+             # covered pixel wins the multi-pass z merge here
+             jnp.full((rows, _CHUNK), jnp.inf, jnp.float32)], axis=0)
 
     @pl.when((k == nk - 1) & (count > 0))
     def _finalize():
@@ -585,7 +647,7 @@ def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb, nf, bs,
             for j in range(6):
                 acc['xy'][j].append(at[j:j + 1, :])
 
-            if with_rgb:
+            if with_rgb and ts == 2:
                 # K4 trilinear for ts=2 (reference rasterize.py:398-425):
                 # lo == 0, so the 8 corners are the whole cube with static
                 # cells; math order matches texture.sample_textures
@@ -605,9 +667,33 @@ def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb, nf, bs,
                         rgb[c] = rgb[c] + cw * arow(19 + isc * 3 + c)
                 for c in range(3):
                     acc['rgb'][c].append(jnp.where(cov_r, rgb[c], 0.0))
+            elif with_rgb:
+                # K4 trilinear for general ts, as a per-axis hat product
+                # over ALL ts^3 cells: the 8-corner blend equals
+                # sum_ijk hat_i(tif0) hat_j(tif1) hat_k(tif2) * texel_ijk
+                # with hat_c(t) = max(0, 1 - |t - c|) (the two cells
+                # adjacent to t carry 1-frac / frac, the rest exact 0) —
+                # no data-dependent cell indexing, so the whole cube rides
+                # the VPU (reference semantics: rasterize.py:398-425)
+                tif = [jnp.minimum(jnp.maximum(
+                    w[j] * (ts - 1.0) * (zp / zs[j]), 0.0), ts - 1.0 - eps)
+                    for j in range(3)]
+                hats = [[jnp.maximum(0.0, 1.0 - jnp.abs(tif[j] - c))
+                         for c in range(ts)] for j in range(3)]
+                rgb = [jnp.zeros((1, _CHUNK), jnp.float32) for _ in range(3)]
+                for i0 in range(ts):
+                    for i1 in range(ts):
+                        hw01 = hats[0][i0] * hats[1][i1]
+                        for i2 in range(ts):
+                            hw = hw01 * hats[2][i2]
+                            isc = (i0 * ts + i1) * ts + i2
+                            for c in range(3):
+                                rgb[c] = rgb[c] + hw * arow(19 + isc * 3 + c)
+                for c in range(3):
+                    acc['rgb'][c].append(jnp.where(cov_r, rgb[c], 0.0))
 
         # stage this patch's packed planes; plane order: depth, w0-2,
-        # z0-2, xy0-5[, rgb0-2] (the flush unpacks in the same order)
+        # z0-2, xy0-5[, rgb0-2], zraw (the flush unpacks in the same order)
         istage_ref[ix] = jnp.concatenate(acc['idx'], axis=0)
         frows = (acc['depth'] + acc['w'][0] + acc['w'][1] + acc['w'][2]
                  + acc['z'][0] + acc['z'][1] + acc['z'][2])
@@ -616,6 +702,9 @@ def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb, nf, bs,
         if with_rgb:
             for c in range(3):
                 frows += acc['rgb'][c]
+        # zraw = the exact min-z state the in-kernel z test compared (inf
+        # where uncovered) — the multi-pass merge key (forward_shaded)
+        frows += [zmin_ref[...]]
         fstage_ref[ix] = jnp.concatenate(frows, axis=0)
 
     @pl.when((k == nk - 1) & (ix == nx - 1))
@@ -624,6 +713,8 @@ def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb, nf, bs,
             idx_ref[0] = img
 
         _flush_strip(store_i, istage_ref, 1, p, rows, nx)
+
+        nrgb_p = 3 if with_rgb else 0
 
         def store_f(j, img):
             if j == 0:
@@ -634,11 +725,12 @@ def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb, nf, bs,
                 z_ref[0, j - 4] = img
             elif j < 13:
                 xy_ref[0, j - 7] = img
-            else:
+            elif j < 13 + nrgb_p:
                 rgb_ref[0, j - 13] = img
+            else:
+                zraw_ref[0] = img
 
-        _flush_strip(store_f, fstage_ref, 13 + (3 if with_rgb else 0),
-                     p, rows, nx)
+        _flush_strip(store_f, fstage_ref, 14 + nrgb_p, p, rows, nx)
 
 
 def forward_shaded(settings, faces, textures=None, interpret=False,
@@ -647,8 +739,11 @@ def forward_shaded(settings, faces, textures=None, interpret=False,
 
     Returns dict with face_index_map [bs,is,is] int32, depth_map, weights
     [bs,3,is,is], xy [bs,6,is,is] (NDC x0 y0 x1 y1 x2 y2 of each pixel's
-    face), z [bs,3,is,is], and rgb [bs,3,is,is] (uncomposited; zeros where
-    uncovered) when ``textures`` (ts=2) is given."""
+    face), z [bs,3,is,is], zraw [bs,is,is] (the kernel's raw min-z state,
+    inf where uncovered — the multi-pass merge key), and rgb [bs,3,is,is]
+    (uncomposited; zeros where uncovered) when ``textures`` is given
+    (in-kernel K4 shading for any ts; ts=4 doubles the feature-table lane
+    footprint and halves the per-pass face budget)."""
     bs, nf = faces.shape[:2]
     is_ = settings.image_size
     p = _patch_dim(settings)
@@ -658,7 +753,8 @@ def forward_shaded(settings, faces, textures=None, interpret=False,
     cap = chunk_capacity(settings, nf)
     k_chunks = cap // _CHUNK
     with_rgb = textures is not None
-    nfeat = 19 + (24 if with_rgb else 0)
+    ts = textures.shape[2] if with_rgb else 0
+    nfeat = _NFEAT + (ts ** 3 * 3 if with_rgb else 0)
 
     prefix, counts = (prefix_counts if prefix_counts is not None
                       else _membership_prefix(settings, faces))
@@ -669,7 +765,7 @@ def forward_shaded(settings, faces, textures=None, interpret=False,
     csr = settings.grad_csr_rows is not None
 
     kernel = functools.partial(_shaded_kernel, settings, p, rows, nf_pad,
-                               cap, nfeat, with_rgb, nf, bs)
+                               cap, nfeat, with_rgb, ts, nf, bs)
 
     nsp = 2 if csr else 1      # scalar-prefetch operands (counts [, base])
 
@@ -694,14 +790,23 @@ def forward_shaded(settings, faces, textures=None, interpret=False,
 
     nrgb = 3 if with_rgb else 1
     out_specs = [img_spec(1), img_spec(1), img_spec(3), img_spec(6),
-                 img_spec(3), img_spec(nrgb)]
+                 img_spec(3), img_spec(nrgb), img_spec(1)]
     out_shape = [
         img_shape(1, jnp.int32), img_shape(1), img_shape(3), img_shape(6),
-        img_shape(3), img_shape(nrgb),
+        img_shape(3), img_shape(nrgb), img_shape(1),
     ]
     operands = [counts, featT, prefix]
     if csr:
         base, lc = csr_base(settings, counts)
+        if settings.runtime_checks and prefix_counts is None:
+            # (prefix_counts shared by a caller means the caller owns the
+            # capacity guard — the auto path's csr_valid lax.cond)
+            # loud when CSR chunks actually overflow into the dump chunk on
+            # THIS scene (same contract as the faces_per_tile_cap warning)
+            checks.maybe_callback(
+                _warn_csr_overflow,
+                jnp.sum((counts + _CHUNK - 1) // _CHUNK),
+                jnp.int32(lc - 1))
         operands = [counts, base, featT, prefix]
         out_specs += [
             spec((1, 1, 1, rows, _CHUNK),
@@ -733,7 +838,7 @@ def forward_shaded(settings, faces, textures=None, interpret=False,
             pltpu.VMEM((rows, _CHUNK), jnp.int32),     # winner position
             pltpu.VMEM((rows, _CHUNK), jnp.float32),   # running min z
             pltpu.VMEM((nfeat, cap), jnp.float32),     # patch feature listT
-            pltpu.VMEM((t, (13 + (3 if with_rgb else 0)) * rows, _CHUNK),
+            pltpu.VMEM((t, (14 + (3 if with_rgb else 0)) * rows, _CHUNK),
                        jnp.float32),                   # strip stage (f32)
             pltpu.VMEM((t, rows, _CHUNK), jnp.int32),  # strip stage (idx)
         ],
@@ -749,7 +854,7 @@ def forward_shaded(settings, faces, textures=None, interpret=False,
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*operands)
-    idx_p, depth_p, w_p, xy_p, z_p, rgb_p = outs[:6]
+    idx_p, depth_p, w_p, xy_p, z_p, rgb_p, zraw_p = outs[:7]
 
     out = dict(
         face_index_map=idx_p,
@@ -757,19 +862,20 @@ def forward_shaded(settings, faces, textures=None, interpret=False,
         weights=w_p,
         xy=xy_p,
         z=z_p,
+        zraw=zraw_p,
     )
     if with_rgb:
         out['rgb'] = rgb_p
     if csr:
         total = jnp.sum((counts + _CHUNK - 1) // _CHUNK) * _CHUNK
-        gseg = outs[7][0]
+        gseg = outs[8][0]
         # unvisited CSR tail blocks (and the dump chunk) hold garbage —
         # route them to the bs*nf overflow bucket
         limit = jnp.minimum(total, (lc - 1) * _CHUNK)
         out['csr_gseg'] = jnp.where(
             jnp.arange(gseg.shape[0], dtype=jnp.int32) < limit, gseg,
             bs * nf)
-        out['csr_pos'] = outs[6]          # packed [bs, t, t, rows, CHUNK]
+        out['csr_pos'] = outs[7]          # packed [bs, t, t, rows, CHUNK]
         out['csr_counts'] = counts
         out['csr_base'] = base
     return out
@@ -798,7 +904,13 @@ def csr_base(settings, counts):
 
 def csr_rows_needed(settings, faces):
     """CSR rows the scene needs (incl. the dump chunk) — validate
-    ``grad_csr_rows`` against this, like the other capacity knobs."""
+    ``grad_csr_rows`` against this, like the other capacity knobs.  The CSR
+    reduction only exists on the single-pass forward (nf <= slice_size());
+    multi-pass meshes use the global segment reduction."""
+    if faces.shape[1] > slice_size():
+        raise ValueError(
+            f'CSR reduction requires nf <= {slice_size()} (single-pass '
+            'forward); multi-pass meshes reduce via the global segment_sum')
     _, counts = _membership_prefix(settings, faces)
     counts = jnp.minimum(counts, chunk_capacity(settings, faces.shape[1]))
     return (jnp.sum((counts + _CHUNK - 1) // _CHUNK) + 1) * _CHUNK
@@ -806,7 +918,14 @@ def csr_rows_needed(settings, faces):
 
 def binning_overflow(settings, faces):
     """Max (over patches) number of front faces binned per patch — validate
-    ``faces_per_tile_cap`` before trusting this backend on a scene.  The xla
-    backend has no capacity limits."""
-    _, counts = _membership_prefix(settings, faces)
-    return counts.max()
+    ``faces_per_tile_cap`` before trusting this backend on a scene.  For
+    multi-pass meshes (nf > slice_size()) this is the max over SLICES, the
+    unit the per-pass capacity applies to.  The xla backend has no capacity
+    limits."""
+    nf = faces.shape[1]
+    s = slice_size()
+    worst = jnp.int32(0)
+    for lo in range(0, nf, s):
+        _, counts = _membership_prefix(settings, faces[:, lo:lo + s])
+        worst = jnp.maximum(worst, counts.max())
+    return worst

@@ -23,8 +23,6 @@ Typical use::
     step = jax.jit(jax.value_and_grad(loss))   # now runs the fast paths
 """
 
-import warnings
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -45,15 +43,20 @@ def measure_scene(settings, face_coords):
     # limits of its own (the Pallas forward's auto cap could bias the
     # measurement on exactly the scenes that need tuning most)
     fim = forward_xla.forward_face_index_map(settings, face_coords)[0]
-    return dict(
+    out = dict(
         out_crossings=backward.count_out_crossings(
             settings, face_coords, fim),
         row_crossings=backward.count_out_crossings(
             settings, face_coords, fim, per_row=True),
         out_offset=backward.max_out_offset(settings, face_coords, fim),
         binned_faces=forward_pallas.binning_overflow(settings, face_coords),
-        csr_rows=forward_pallas.csr_rows_needed(settings, face_coords),
     )
+    if face_coords.shape[1] <= forward_pallas.slice_size():
+        # CSR face reduction is single-pass-only; multi-pass meshes use
+        # the global segment reduction (no capacity to tune)
+        out['csr_rows'] = forward_pallas.csr_rows_needed(
+            settings, face_coords)
+    return out
 
 
 def tune(renderer, vertices, faces, eyes=None, margin=1.25):
@@ -105,29 +108,33 @@ def tune(renderer, vertices, faces, eyes=None, margin=1.25):
     from neural_renderer_tpu.rasterize import backward, forward_pallas
     from neural_renderer_tpu.rasterize import forward_xla
 
-    # phase 1 — binning capacities: cheap pure-XLA counts
+    # phase 1 — binning capacity: cheap pure-XLA count
     @jax.jit
     def measure_bins(v, eye):
         fc = coords(v, eye)
-        return (forward_pallas.binning_overflow(settings, fc),
-                forward_pallas.csr_rows_needed(settings, fc))
+        return forward_pallas.binning_overflow(settings, fc)
 
     worst = {}
     try:
         for eye in eyes:
-            b, c = measure_bins(vertices, jnp.asarray(eye, jnp.float32))
+            b = measure_bins(vertices, jnp.asarray(eye, jnp.float32))
             worst['binned_faces'] = max(worst.get('binned_faces', 0),
                                         int(np.asarray(b)))
-            worst['csr_rows'] = max(worst.get('csr_rows', 0),
-                                    int(np.asarray(c)))
 
         # phase 2 — backward capacities, from a face-index map rendered at
         # a cap that phase 1 proved covering (the fast Pallas forward when
-        # available; the XLA oracle elsewhere)
+        # available; the XLA oracle elsewhere).  csr_rows is ALSO measured
+        # here, with s2: counts clamp at faces_per_tile_cap, so measuring
+        # with the default-cap settings would undercount CSR chunks on any
+        # scene whose patches bin beyond the auto heuristic cap — and an
+        # undersized grad_csr_rows silently drops gradient work.
         import dataclasses
         cap = max(128, -(-worst['binned_faces'] // 128) * 128)
         s2 = dataclasses.replace(settings, faces_per_tile_cap=cap)
         use_pallas = forward_pallas.supported(s2, faces)  # shape-only check
+        # CSR face reduction exists only on the single-pass forward;
+        # multi-pass (large-mesh) renders reduce via the global segment_sum
+        use_csr = faces.shape[1] <= forward_pallas.slice_size()
 
         @jax.jit
         def measure_sweeps(v, eye):
@@ -138,17 +145,21 @@ def tune(renderer, vertices, faces, eyes=None, margin=1.25):
                 fim = forward_xla.forward_face_index_map(s2, fc)[0]
             return (backward.count_out_crossings(s2, fc, fim),
                     backward.count_out_crossings(s2, fc, fim, per_row=True),
-                    backward.max_out_offset(s2, fc, fim))
+                    backward.max_out_offset(s2, fc, fim),
+                    forward_pallas.csr_rows_needed(s2, fc) if use_csr
+                    else jnp.int32(0))
 
         for eye in eyes:
-            oc, rc, oo = measure_sweeps(vertices,
-                                        jnp.asarray(eye, jnp.float32))
+            oc, rc, oo, c = measure_sweeps(vertices,
+                                           jnp.asarray(eye, jnp.float32))
             worst['out_crossings'] = max(worst.get('out_crossings', 0),
                                          int(np.asarray(oc)))
             worst['row_crossings'] = max(worst.get('row_crossings', 0),
                                          int(np.asarray(rc)))
             worst['out_offset'] = max(worst.get('out_offset', 0),
                                       int(np.asarray(oo)))
+            worst['csr_rows'] = max(worst.get('csr_rows', 0),
+                                    int(np.asarray(c)))
     finally:
         renderer.eye = saved_eye
 
@@ -157,19 +168,17 @@ def tune(renderer, vertices, faces, eyes=None, margin=1.25):
 
     overrides = dict(
         faces_per_tile_cap=up(worst['binned_faces'], 128),
-        # csr_base requires >= 2 chunks (data + dump)
-        grad_csr_rows=max(256, up(worst['csr_rows'], 128)),
         grad_out_cap=up(worst['out_crossings'], 1024),
         grad_offset_radius=worst['out_offset'] + 1,
     )
-    row_cap = RasterizeSettings.grad_row_cap
-    if worst['row_crossings'] > row_cap:
-        # the Pallas out-sweep's per-row capacity is a hard kernel limit;
-        # keep the exact dense out-sweep rather than an approximate one
-        warnings.warn(
-            f'tune: {worst["row_crossings"]} out-sweep crossings in one '
-            f'image row exceed the kernel row capacity {row_cap}; leaving '
-            'grad_out_cap unset (exact dense path)')
-        del overrides['grad_out_cap']
+    if worst['csr_rows']:
+        # csr_base requires >= 2 chunks (data + dump)
+        overrides['grad_csr_rows'] = max(256, up(worst['csr_rows'], 128))
+    if worst['row_crossings'] > RasterizeSettings.grad_row_cap:
+        # the Pallas out-sweep's row capacity is a compile-time kernel
+        # parameter (chunks of 64 record slots) — raise it to cover the
+        # measured worst row instead of losing the kernel entirely.  Cost
+        # scales only in skipped grid steps for sparser rows.
+        overrides['grad_row_cap'] = up(worst['row_crossings'], 64)
     renderer.perf_overrides = dict(renderer.perf_overrides, **overrides)
     return overrides
