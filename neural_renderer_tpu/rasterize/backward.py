@@ -255,39 +255,18 @@ def face_segments(settings, faces, face_index_map):
         bs * nf)
 
 
-def _sweep_stats(settings, covered, ppx, ppy, xi, yi):
-    """Runtime capacity requirements of THIS scene for the auto fast path:
-    (max in-sweep out-pixel offset over active pixels, max active out-sweep
-    crossings in any single row/column).  A few fused elementwise passes
-    over the maps (~ms) — the price of making the kernel fast paths the
-    default without a tuning step."""
-    is_ = settings.image_size
-    off_worst = jnp.float32(0.0)
-    row_tot = {0: 0, 1: 0}
-    for e, a in _EA:
-        X, Y = _edge_coords(ppx, ppy, e, a)
-        d0 = xi if a == 0 else yi
-        d1 = yi if a == 0 else xi
-        cr = _crossing(settings, X, Y, a, d0)
-        lim = _in_limit(settings, X, Y, d0, cr['direction'])
-        lo2 = jnp.maximum(jnp.minimum(cr['d1_in'], lim), 0.0)
-        hi2 = jnp.minimum(jnp.maximum(cr['d1_in'], lim), is_ - 1.0)
-        act_in = covered & cr['valid'] & (d1 >= lo2) & (d1 <= hi2)
-        off_worst = jnp.maximum(off_worst, jnp.max(jnp.where(
-            act_in, jnp.abs(cr['d1_out'] - d1), 0.0)))
-        act_out = covered & cr['valid'] & (cr['d1_in'] == d1)
-        row_tot[a] = row_tot[a] + act_out.sum(
-            axis=2 if a == 0 else 1, dtype=jnp.int32)
-    row_worst = jnp.maximum(row_tot[0].max(), row_tot[1].max())
-    return off_worst, row_worst
-
-
 def _auto_channels(settings, faces, face_index_map, face_w, rgb_map,
                    alpha_map, grad_rgb_map, grad_alpha_map):
     """Auto fast path: Pallas in/out-sweep kernels at static auto
     capacities, each under a runtime exactness guard (lax.cond) that falls
     back to the capacity-free XLA path when the scene exceeds the
-    capacity.  Returns the stacked 12 channels (extra is always None)."""
+    capacity.  The kernels run SPECULATIVELY and report the scene's actual
+    capacity requirements themselves (stats measured where the crossing
+    math already lives — a dense XLA stats pre-pass measured 63 ms/step at
+    512^2 bs32, dwarfing the kernels it guarded); the cond then either
+    keeps the kernel result or recomputes exactly.  Scenes that fit pay
+    ~nothing for the guard; scenes that overflow pay kernel + fallback for
+    that step.  Returns the stacked 12 channels (extra is always None)."""
     import dataclasses
 
     from neural_renderer_tpu.rasterize import backward_pallas
@@ -305,18 +284,37 @@ def _auto_channels(settings, faces, face_index_map, face_w, rgb_map,
 
     radius = rconfig.auto_offset_radius(is_)
     s_in = dataclasses.replace(settings, grad_offset_radius=radius)
-    off_worst, row_worst = _sweep_stats(settings, covered, ppx, ppy, xi, yi)
 
-    def in_kernel(_):
-        chans = [None] * 6
-        for a in (0, 1):
-            six = backward_pallas.insweep_channels(
-                s_in, a, ppx, ppy, alpha_map, grad_alpha_map,
-                rgb_map if settings.return_rgb else None,
-                grad_rgb_map if settings.return_rgb else None)
-            for e in range(3):
-                chans[_EA.index((e, a))] = (six[2 * e], six[2 * e + 1])
-        return jnp.stack([c for pair in chans for c in pair], axis=-1)
+    # speculative kernel runs; each reports its own worst-case stat
+    in_chans = [None] * 6
+    off_worst = None
+    for a in (0, 1):
+        six, ow = backward_pallas.insweep_channels(
+            s_in, a, ppx, ppy, alpha_map, grad_alpha_map,
+            rgb_map if settings.return_rgb else None,
+            grad_rgb_map if settings.return_rgb else None)
+        off_worst = ow if off_worst is None else jnp.maximum(off_worst, ow)
+        for e in range(3):
+            in_chans[_EA.index((e, a))] = (six[2 * e], six[2 * e + 1])
+    in12k = jnp.stack([c for pair in in_chans for c in pair], axis=-1)
+
+    s1_map = jnp.zeros_like(alpha_map)
+    if settings.return_alpha:
+        s1_map = s1_map + alpha_map * grad_alpha_map
+    if settings.return_rgb:
+        s1_map = s1_map + jnp.sum(rgb_map * grad_rgb_map, axis=-1)
+    out_chans = [None] * 6
+    row_worst = None
+    for a in (0, 1):
+        six, rw = backward_pallas.outsweep_channels(
+            settings, a, ppx, ppy, alpha_map, s1_map, grad_alpha_map,
+            grad_rgb_map if settings.return_rgb else None,
+            rgb_map if settings.return_rgb else None,
+            row_cap=settings.grad_row_cap)
+        row_worst = rw if row_worst is None else jnp.maximum(row_worst, rw)
+        for e in range(3):
+            out_chans[_EA.index((e, a))] = (six[2 * e], six[2 * e + 1])
+    out12k = jnp.stack([c for pair in out_chans for c in pair], axis=-1)
 
     def in_xla(_):
         chans = []
@@ -345,23 +343,6 @@ def _auto_channels(settings, faces, face_index_map, face_w, rgb_map,
                           jnp.where(act_in, c1, 0.0)))
         return jnp.stack([c for pair in chans for c in pair], axis=-1)
 
-    def out_kernel(_):
-        s1_map = jnp.zeros_like(alpha_map)
-        if settings.return_alpha:
-            s1_map = s1_map + alpha_map * grad_alpha_map
-        if settings.return_rgb:
-            s1_map = s1_map + jnp.sum(rgb_map * grad_rgb_map, axis=-1)
-        chans = [None] * 6
-        for a in (0, 1):
-            six = backward_pallas.outsweep_channels(
-                settings, a, ppx, ppy, alpha_map, s1_map, grad_alpha_map,
-                grad_rgb_map if settings.return_rgb else None,
-                rgb_map if settings.return_rgb else None,
-                row_cap=settings.grad_row_cap)
-            for e in range(3):
-                chans[_EA.index((e, a))] = (six[2 * e], six[2 * e + 1])
-        return jnp.stack([c for pair in chans for c in pair], axis=-1)
-
     def out_dense(_):
         chans = []
         for e, a in _EA:
@@ -375,9 +356,9 @@ def _auto_channels(settings, faces, face_index_map, face_w, rgb_map,
                                     grad_alpha_map))
         return jnp.stack([c for pair in chans for c in pair], axis=-1)
 
-    in12 = jax.lax.cond(off_worst <= radius, in_kernel, in_xla, 0)
-    out12 = jax.lax.cond(row_worst <= settings.grad_row_cap, out_kernel,
-                         out_dense, 0)
+    in12 = jax.lax.cond(off_worst <= radius, lambda _: in12k, in_xla, 0)
+    out12 = jax.lax.cond(row_worst <= settings.grad_row_cap,
+                         lambda _: out12k, out_dense, 0)
     return in12 + out12, None
 
 
@@ -425,10 +406,13 @@ def pixel_map_channels(settings, faces, face_index_map, face_w, rgb_map,
             and backward_pallas.supported(settings)):
         kernel_in = {}
         for a in (0, 1):
-            six = backward_pallas.insweep_channels(
+            six, ow = backward_pallas.insweep_channels(
                 settings, a, ppx, ppy, alpha_map, grad_alpha_map,
                 rgb_map if settings.return_rgb else None,
                 grad_rgb_map if settings.return_rgb else None)
+            # the kernel measures the scene's own offset requirement —
+            # the runtime_checks warning needs no dense recompute
+            worst_offset = jnp.maximum(worst_offset, ow.astype(jnp.float32))
             for e in range(3):
                 kernel_in[(e, a)] = (six[2 * e], six[2 * e + 1])
 
@@ -442,9 +426,9 @@ def pixel_map_channels(settings, faces, face_index_map, face_w, rgb_map,
 
     for e, a in _EA:
         # the loop's own crossing math is only needed for the paths that
-        # stay in XLA (dense out-sweep, mask compaction) or for runtime
-        # capacity checks — both kernels rederive it in VMEM
-        need_cr = (kernel_in is None or not use_out_kernel or need_checks
+        # stay in XLA (dense out-sweep, mask compaction) — both kernels
+        # rederive it in VMEM and report their own capacity stats
+        need_cr = (kernel_in is None or not use_out_kernel
                    or settings.grad_out_cap is None)
         if need_cr:
             X, Y = _edge_coords(ppx, ppy, e, a)
@@ -454,13 +438,6 @@ def pixel_map_channels(settings, faces, face_index_map, face_w, rgb_map,
 
         if kernel_in is not None:
             c0, c1 = kernel_in[(e, a)]
-            if need_checks:
-                lim = _in_limit(settings, X, Y, d0, cr['direction'])
-                lo2 = jnp.maximum(jnp.minimum(cr['d1_in'], lim), 0.0)
-                hi2 = jnp.minimum(jnp.maximum(cr['d1_in'], lim), is_ - 1.0)
-                act_in = covered & cr['valid'] & (d1 >= lo2) & (d1 <= hi2)
-                worst_offset = jnp.maximum(worst_offset, jnp.max(jnp.where(
-                    act_in, jnp.abs(cr['d1_out'] - d1), 0.0)))
         else:
             # -------------- in-sweep (exact, per covered pixel) -----------
             lim = _in_limit(settings, X, Y, d0, cr['direction'])
@@ -501,10 +478,7 @@ def pixel_map_channels(settings, faces, face_index_map, face_w, rgb_map,
             c0 = c0 + o0
             c1 = c1 + o1
         elif use_out_kernel:
-            if need_checks:
-                act_out = covered & cr['valid'] & (cr['d1_in'] == d1)
-                row_overflow = jnp.maximum(row_overflow, jnp.max(
-                    act_out.sum(axis=2 if a == 0 else 1, dtype=jnp.int32)))
+            pass          # row capacity measured by the kernel itself
         else:
             act_out = covered & cr['valid'] & (cr['d1_in'] == d1)
             act_out_masks[(e, a)] = act_out
@@ -522,20 +496,21 @@ def pixel_map_channels(settings, faces, face_index_map, face_w, rgb_map,
             s1_map = s1_map + alpha_map * grad_alpha_map
         if settings.return_rgb:
             s1_map = s1_map + jnp.sum(rgb_map * grad_rgb_map, axis=-1)
-        if need_checks:
-            checks.maybe_callback(_warn_row_cap, row_overflow,
-                                  jnp.int32(settings.grad_row_cap))
         from neural_renderer_tpu.rasterize import backward_pallas
         for a in (0, 1):
-            six = backward_pallas.outsweep_channels(
+            six, rw = backward_pallas.outsweep_channels(
                 settings, a, ppx, ppy, alpha_map, s1_map, grad_alpha_map,
                 grad_rgb_map if settings.return_rgb else None,
                 rgb_map if settings.return_rgb else None,
                 row_cap=settings.grad_row_cap)
+            row_overflow = jnp.maximum(row_overflow, rw)
             for e in range(3):
                 idx = _EA.index((e, a))
                 c0, c1 = contribs[idx]
                 contribs[idx] = (c0 + six[2 * e], c1 + six[2 * e + 1])
+        if need_checks:
+            checks.maybe_callback(_warn_row_cap, row_overflow,
+                                  jnp.int32(settings.grad_row_cap))
     elif settings.grad_out_cap is not None:
         extra = jnp.zeros((bs, nf, 3, 3), jnp.float32)
         for a in (0, 1):

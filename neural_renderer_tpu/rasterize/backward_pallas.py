@@ -154,6 +154,19 @@ def _kernel(settings, dir_lt, radius, rows, is_,
         if s < radius:
             rolled = jnp.roll(rolled, -1, axis=1)
 
+    # stat export: per-row max |d1_out - d1| over active pixels — the
+    # scene's actual offset requirement, measured by the kernel itself
+    # (free: phase A already computed delta).  The auto fast path compares
+    # the max against the radius and falls back to the exact XLA gather
+    # when this speculative run would have dropped work.
+    ov = None
+    for e in range(3):
+        m = jnp.where(per_edge[e]['act_in'],
+                      jnp.abs(per_edge[e]['delta']), 0)
+        ov = m if ov is None else jnp.maximum(ov, m)
+    outs[6][0] = jnp.broadcast_to(
+        jnp.max(ov, axis=1, keepdims=True), (rows, _LANE))
+
     # phase C: dg gating + the two -dg/dist terms
     # (reference rasterize.py:648-657,719-728)
     for e in range(3):
@@ -213,7 +226,8 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
     grgb_refs = refs[9:12] if with_rgb else ()
     rgb_refs = refs[12:15] if with_rgb else ()
     out_ref = refs[nin]
-    cnt_ref, rank_ref, attr_ref, tlo_ref, wok_ref = refs[nin + 1:nin + 6]
+    cntout_ref = refs[nin + 1]
+    cnt_ref, rank_ref, attr_ref, tlo_ref, wok_ref = refs[nin + 2:nin + 7]
 
     # windowed fetch: a (row, edge)'s active crossings cluster in the
     # object's x-range — when each edge's span fits _WINT lane-tiles, the
@@ -313,6 +327,12 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
             total = total + count_e
         for r in range(rows):
             cnt_ref[r] = jnp.max(total[r:r + 1, 0:1])
+        # stat export: the per-row totals themselves — the scene's actual
+        # row-capacity requirement, measured where it is already computed.
+        # The auto fast path compares max(total) against row_cap and falls
+        # back to the dense out-sweep when this speculative run would have
+        # dropped records.
+        cntout_ref[0] = jnp.broadcast_to(total, (rows, _LANE))
 
         if windowed:
             # per-(row, edge) fetch-window tile base + a per-row flag that
@@ -423,9 +443,12 @@ def outsweep_channels(settings, a, ppx, ppy, alpha_map, s1_map,
     """Out-sweep contribution channels for one walk axis, written at each
     crossing's in-pixel (same attribution as the dense path).
 
-    Returns 6 maps [bs, is, is]: (c0, c1) per edge.  Exact iff every row's
-    (column's, for a=0) active crossing count <= row_cap — validate with
-    ``backward.count_out_crossings(..., per_row=True)``."""
+    Returns ([6 maps [bs, is, is]: (c0, c1) per edge], row_worst) where
+    row_worst is the max active crossing count in any single row — the
+    kernel's own measurement of the scene's row-capacity requirement.
+    Exact iff row_worst <= row_cap — validate with
+    ``backward.count_out_crossings(..., per_row=True)`` or compare the
+    returned stat (the auto fast path conds on it)."""
     is_ = settings.image_size
     bs = alpha_map.shape[0]
     rows = 8
@@ -453,14 +476,16 @@ def outsweep_channels(settings, a, ppx, ppy, alpha_map, s1_map,
                                is_, with_rgb, kc)
     spec = pl.BlockSpec((1, rows, is_), lambda b, i, c: (b, i, 0))
     out_spec = pl.BlockSpec((1, 6 * rows, is_), lambda b, i, c: (b, i, 0))
+    cnt_spec = pl.BlockSpec((1, rows, _LANE), lambda b, i, c: (b, i, 0))
     from jax.experimental.pallas import tpu as pltpu
-    out = pl.pallas_call(
+    out, cnt = pl.pallas_call(
         kernel,
         grid=(bs, is_ // rows, kc),
         in_specs=[spec] * len(inputs),
-        out_specs=out_spec,
-        out_shape=_out_struct((bs, 6 * rows * (is_ // rows), is_),
-                              jnp.float32, alpha_map),
+        out_specs=[out_spec, cnt_spec],
+        out_shape=[_out_struct((bs, 6 * rows * (is_ // rows), is_),
+                               jnp.float32, alpha_map),
+                   _out_struct((bs, is_, _LANE), jnp.int32, alpha_map)],
         scratch_shapes=[
             pltpu.SMEM((rows,), jnp.int32),
             pltpu.VMEM((rows, 3 * is_), jnp.int32),
@@ -476,7 +501,9 @@ def outsweep_channels(settings, a, ppx, ppy, alpha_map, s1_map,
     # out rows: block i holds [rows, 6] planes at sublanes [i*6*rows ...]
     out = out.reshape(bs, is_ // rows, rows, 6, is_)
     out = out.transpose(3, 0, 1, 2, 4).reshape(6, bs, is_, is_)
-    return [tr(out[j]) for j in range(6)]
+    # (channels in the walk frame get transposed back for a=0; the stat is
+    # a global max, frame-independent)
+    return [tr(out[j]) for j in range(6)], jnp.max(cnt)
 
 
 def insweep_channels(settings, a, ppx, ppy, alpha_map, grad_alpha_map,
@@ -485,8 +512,10 @@ def insweep_channels(settings, a, ppx, ppy, alpha_map, grad_alpha_map,
 
     a: 0 (column sweeps — handled by transposing in/outputs) or 1 (row
     sweeps).  ppx/ppy: ``[bs, is, is, 3]`` pixel-space vertex coords of
-    each pixel's face.  Returns 6 maps ``[bs, is, is]``: (c0, c1) per edge.
-    """
+    each pixel's face.  Returns ([6 maps [bs, is, is]: (c0, c1) per edge],
+    off_worst) where off_worst is the max |d1_out - d1| over active
+    pixels — the scene's actual offset requirement.  Exact iff
+    off_worst <= grad_offset_radius (the auto fast path conds on it)."""
     is_ = settings.image_size
     bs = alpha_map.shape[0]
     radius = int(settings.grad_offset_radius)
@@ -513,16 +542,20 @@ def insweep_channels(settings, a, ppx, ppy, alpha_map, grad_alpha_map,
     kernel = functools.partial(_kernel, settings, dir_lt, radius,
                                rows, is_)
     spec = pl.BlockSpec((1, rows, is_), lambda b, i: (b, i, 0))
+    stat_spec = pl.BlockSpec((1, rows, _LANE), lambda b, i: (b, i, 0))
     outs = pl.pallas_call(
         kernel,
         grid=(bs, is_ // rows),
         in_specs=[spec] * len(inputs),
-        out_specs=[spec] * 6,
+        out_specs=[spec] * 6 + [stat_spec],
         out_shape=[_out_struct((bs, is_, is_), jnp.float32,
-                               alpha_map)] * 6,
+                               alpha_map)] * 6
+        + [_out_struct((bs, is_, _LANE), jnp.int32, alpha_map)],
         interpret=interpret,
     )(*inputs)
-    return [tr(o) for o in outs]
+    # (channels in the walk frame get transposed back for a=0; the stat is
+    # a global max, frame-independent)
+    return [tr(o) for o in outs[:6]], jnp.max(outs[6])
 
 
 # ---------------------------------------------------------------------------

@@ -124,10 +124,12 @@ def auto_csr_rows(image_size, batch_size):
     The requirement is ``sum_patches ceil(binned_count/128) + 1`` chunks
     (``forward_pallas.csr_rows_needed``); the teapot needs ~73 chunks per
     batch element at 512^2 (nt=256 patches, ~half empty) and ~47 at 256^2
-    (nt=64).  nt/2 + 32 chunks per element covers both with >= 1.3x
-    margin; over-provision costs segment_sum rows (~20ns/row) and skipped
-    grid steps, both modest next to the ~170 ms global reduction this
-    replaces.
+    (nt=64).  nt/4 + 48 chunks per element covers both with >= 1.35x
+    margin; over-provision is not free (every extra chunk costs a CSR
+    kernel grid step plus 128 segment_sum rows; part of the measured
+    ~12 ms auto-vs-tuned residual at 512^2 bs32 with the old nt/2 + 32
+    rule), while under-provision just trips the csr_valid guard into the
+    exact global reduction — so lean tight.
     """
     nt = max(1, image_size // 32) ** 2
-    return 128 * batch_size * (nt // 2 + 32)
+    return 128 * batch_size * (nt // 4 + 48)

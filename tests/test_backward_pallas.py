@@ -53,11 +53,15 @@ def test_insweep_kernel_matches_xla():
 
     interpret = jax.default_backend() != 'tpu'
     kout = []
+    kstats = []
     for a in (0, 1):
-        kout.append(jax.jit(lambda ppx, ppy, al, g, r, gr, a=a:
-                    backward_pallas.insweep_channels(
-                        s, a, ppx, ppy, al, g, r, gr,
-                        interpret=interpret))(ppx, ppy, alpha, ga, rgb, grgb))
+        six, ow = jax.jit(lambda ppx, ppy, al, g, r, gr, a=a:
+                          backward_pallas.insweep_channels(
+                              s, a, ppx, ppy, al, g, r, gr,
+                              interpret=interpret))(ppx, ppy, alpha, ga,
+                                                    rgb, grgb)
+        kout.append(six)
+        kstats.append(ow)
 
     # XLA reference: the exact-gather in-sweep contributions per (e, a)
     yi = jnp.broadcast_to(jnp.arange(is_, dtype=jnp.float32)[None, :, None],
@@ -96,6 +100,9 @@ def test_insweep_kernel_matches_xla():
             for k in range(2):
                 got = np.asarray(kout[a][2 * e + k])
                 want = np.asarray(r[(e, a)][k])
+                # kernel was exact here, so its self-measured offset stat
+                # must honor the radius contract
+                assert int(kstats[a]) <= s.grad_offset_radius
                 np.testing.assert_allclose(
                     got, want, rtol=1e-5, atol=scale * 1e-6,
                     err_msg=f'(e={e}, a={a}, c{k})')
@@ -151,10 +158,13 @@ def test_insweep_kernel_silhouette_mode():
     ga = jax.random.normal(jax.random.PRNGKey(0), alpha.shape)
 
     interpret = jax.default_backend() != 'tpu'
-    outs = jax.jit(lambda *a: backward_pallas.insweep_channels(
+    outs, ow = jax.jit(lambda *a: backward_pallas.insweep_channels(
         s, 1, *a, interpret=interpret))(ppx, ppy, alpha, ga)
     total = sum(float(jnp.abs(o).sum()) for o in outs)
     assert np.isfinite(total) and total > 0
+    # the kernel's self-measured offset stat honors its own exactness
+    # contract on this fitting scene
+    assert 0 < int(ow) <= s.grad_offset_radius
 
 
 def test_csr_partials_interpret():
