@@ -573,32 +573,45 @@ def insweep_channels(settings, a, ppx, ppy, alpha_map, grad_alpha_map,
 # rows (~5k per batch element on the teapot vs 262k pixels).
 
 
-def _csr_kernel(rows, p, nc, kmax, pchk_ref, kofs_ref, chan_ref, pos_ref,
-                out_ref):
+def _csr_kernel(rows, p, nc, kmax, t, xg, pchk_ref, kofs_ref, chan_ref,
+                pos_ref, out_ref):
+    from jax.experimental.pallas import tpu as pltpu
     c = pl.program_id(0)
     kofs = kofs_ref[c]
 
     @pl.when(kofs < kmax)
     def _compute():
         pos = pos_ref[0, 0, 0]                           # [rows, 128] int32
-        # [p, p, C] patch pixels -> [p*p, C] in the forward's packed pixel
-        # order: slot (r, l) holds pixel y = (l//p)*rows + r, x = l%p
-        # (forward_pallas._pixel_coords), so split y into (group, r),
-        # swap the leading (non-tiled) dims, and re-merge
+        # channels arrive channel-LEADING — the layout the backward's
+        # fused pixel-minor channel stack is already stored in, so no
+        # host-side channel-minor relayout exists (a channel-minor
+        # operand forced an 8.8 ms copy of the whole 1.2 GB stack at
+        # 512^2 bs32).  Pallas block minors must be (8, 128)-divisible,
+        # so the block spans xg = 128/p patches side by side; a dynamic
+        # lane rotation brings this chunk's patch to offset 0.
+        if xg > 1:
+            pt = pchk_ref[c]
+            xq = (pt % t) % xg                   # patch index inside block
+            strip = pltpu.roll(chan_ref[0], ((xg - xq) % xg) * p, 2)
+        else:
+            strip = chan_ref[0]
+        # packed pixel order (slot (r, l): y = (l//p)*rows + r, x = l%p —
+        # forward_pallas._pixel_coords) splits y into (group, r); each
+        # (r, g) pair is one K=p lane-lane contraction against the slot
+        # one-hot (the MXU is idle here anyway — the kernel is DMA-bound)
         groups = _LANE // p
-        chan = (chan_ref[0].reshape(groups, rows, p, nc)
-                .transpose(1, 0, 2, 3).reshape(p * p, nc))
-        slot = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
+        chan = strip[:, :, :p].reshape(nc, groups, rows, p)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (_LANE, p), 0)
         acc = jnp.zeros((_LANE, nc), jnp.float32)
         for r in range(rows):
-            # one-hot over this chunk's slots for the row's 128 pixels
-            oh = (slot == (pos[r:r + 1, :] - kofs * _LANE)).astype(
-                jnp.float32)
-            acc = acc + jax.lax.dot_general(
-                oh, chan[r * _LANE:(r + 1) * _LANE, :],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)     # [slots, C]
+            for g in range(groups):
+                cg = chan[:, g, r, :]                    # [nc, p]
+                pos_g = pos[r:r + 1, g * p:(g + 1) * p]  # [1, p]
+                oh = (slot == (pos_g - kofs * _LANE)).astype(jnp.float32)
+                acc = acc + jax.lax.dot_general(
+                    oh, cg, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)  # [slots, C]
         out_ref[...] = acc
 
 
@@ -606,7 +619,10 @@ def csr_partial_channels(settings, channels, pos_packed, counts, base,
                          cap, interpret=False):
     """Per-patch partial face sums of fused per-pixel channels.
 
-    channels ``[bs, is, is, C]``; pos_packed ``[bs, t, t, rows, 128]`` and
+    channels ``[bs, C, is, is]`` (channel-LEADING — physically the same
+    bytes as the pixel-minor ``[bs, is, is, C]`` stack XLA naturally
+    produces, so the caller's transpose is a free bitcast);
+    pos_packed ``[bs, t, t, rows, 128]`` and
     counts/base from the shaded forward (``grad_csr_rows`` set).  Returns
     partials ``[grad_csr_rows, C]`` whose row ``128*base[pt] + pos`` holds
     the channel sums over patch pt's pixels with winner position pos; rows
@@ -616,11 +632,10 @@ def csr_partial_channels(settings, channels, pos_packed, counts, base,
     The grid iterates the CSR chunks themselves (not patches x capacity):
     scalar-prefetched chunk->patch / chunk->k maps mean empty patches cost
     nothing and no grid step is ever skipped, and channel patches are
-    sliced straight from the image-layout array by the BlockSpec (a
-    [1, p, p, C] block is legal because C is the full minor dim) — no
-    patchify transpose.
+    sliced straight from the channel-leading image-layout array by the
+    BlockSpec ([1, C, p, p] blocks) — no patchify transpose, no relayout.
     """
-    bs, is_, _, nc = channels.shape
+    bs, nc, is_, _ = channels.shape
     p = 32
     t = is_ // p
     rows = (p * p) // _LANE
@@ -637,7 +652,8 @@ def csr_partial_channels(settings, channels, pos_packed, counts, base,
     pchk = jnp.minimum(pchk, counts.shape[0] - 1)
     kofs = jnp.where(ci < total, ci - base[pchk], kmax).astype(jnp.int32)
 
-    kernel = functools.partial(_csr_kernel, rows, p, nc, kmax)
+    xg = max(1, min(_LANE, is_) // p)    # patches per lane-aligned block
+    kernel = functools.partial(_csr_kernel, rows, p, nc, kmax, t, xg)
     from jax.experimental.pallas import tpu as pltpu
 
     def byx(c, pchk_ref, kofs_ref):
@@ -648,8 +664,9 @@ def csr_partial_channels(settings, channels, pos_packed, counts, base,
         num_scalar_prefetch=2,
         grid=(lc,),
         in_specs=[
-            pl.BlockSpec((1, p, p, nc),
-                         lambda c, *s: (*byx(c, *s), 0)),
+            pl.BlockSpec((1, nc, p, xg * p),
+                         lambda c, *s: ((lambda b, y, x: (b, 0, y, x // xg))
+                                        (*byx(c, *s)))),
             pl.BlockSpec((1, 1, 1, rows, _LANE),
                          lambda c, *s: (*byx(c, *s), 0, 0)),
         ],

@@ -352,8 +352,14 @@ def _bwd(settings, res, cotangents):
         # the barrier keeps per-pixel producers out of the reduction that
         # follows: without it XLA fuses them into the scatter (which then
         # lowers to scalar loops) or remats them as [bs,is,is,1] copies
-        # that lane-pad 128x and blow HBM (observed: 84G of temps)
-        fused = jax.lax.optimization_barrier(fused)
+        # that lane-pad 128x and blow HBM (observed: 84G of temps).
+        # Channel-LEADING view: XLA stores the pixel-minor producers'
+        # stack as {2,1,3,0} (physically [bs, C, is, is]) anyway, and the
+        # CSR kernel consumes that layout directly — with a channel-minor
+        # operand the pallas default-layout pin forced an 8.8 ms relayout
+        # copy of the whole 1.2 GB stack at 512^2 bs32.
+        fused = jax.lax.optimization_barrier(
+            jnp.transpose(fused, (0, 3, 1, 2)))
 
         def _csr_reduce(fused):
             # per-patch partial face sums (one-hot MXU against the
@@ -376,11 +382,16 @@ def _bwd(settings, res, cotangents):
                 num_segments=bs * nf + 1)[:-1]
 
         def _global_reduce(fused):
+            # fused is channel-leading; segment_sum wants [pixels, C]
+            # rows.  The transpose back is a real relayout, but this
+            # branch only runs when no CSR artifacts exist (xla backend /
+            # CPU) or the scene overflowed the CSR capacity.
             seg_flat = bwd.face_segments(
                 settings, faces, res['face_index_map']).reshape(-1)
             return jax.ops.segment_sum(
-                fused.reshape(-1, fused.shape[-1]), seg_flat,
-                num_segments=bs * nf + 1)[:-1]
+                jnp.transpose(fused, (0, 2, 3, 1)).reshape(
+                    -1, fused.shape[1]),
+                seg_flat, num_segments=bs * nf + 1)[:-1]
 
         if 'csr_pos' in res and 'csr_valid' in res:
             # auto fast path: the forward measured the scene's CSR needs;

@@ -186,8 +186,8 @@ def test_csr_partials_interpret():
     chan = jax.random.normal(jax.random.PRNGKey(8), (1, is_, is_, nc))
     cap = forward_pallas.chunk_capacity(s, nf)
     partials = backward_pallas.csr_partial_channels(
-        s, chan, out['csr_pos'], out['csr_counts'], out['csr_base'], cap,
-        interpret=True)
+        s, chan.transpose(0, 3, 1, 2), out['csr_pos'], out['csr_counts'],
+        out['csr_base'], cap, interpret=True)
     got = jax.ops.segment_sum(partials, out['csr_gseg'],
                               num_segments=nf + 1)[:-1]
 
