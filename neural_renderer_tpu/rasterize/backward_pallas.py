@@ -73,7 +73,7 @@ def _kernel(settings, dir_lt, radius, rows, is_,
     use_alpha = settings.return_alpha
     rgb = rest_and_outs[:3] if use_rgb else ()
     grgb = rest_and_outs[3:6] if use_rgb else ()
-    outs = rest_and_outs[6:] if use_rgb else rest_and_outs
+    outs = rest_and_outs[6:-3] if use_rgb else rest_and_outs[:-3]
     eps = settings.eps
 
     i = pl.program_id(1)
@@ -137,33 +137,64 @@ def _kernel(settings, dir_lt, radius, rows, is_,
         per_edge.append(dict(X0=X0, X1=X1, d1_cross=d1_cross,
                              act_in=act_in, delta=delta))
 
-    # phase B: ONE chained roll over a sublane-stacked value block shared
-    # by all 3 edges; per step, contract channels once and select into each
-    # edge's out-value product accumulator
+    # block-wide offset requirement, shared by the stat export and the
+    # chunk-skip ladder below
+    ov = None
+    for e in range(3):
+        m = jnp.where(per_edge[e]['act_in'],
+                      jnp.abs(per_edge[e]['delta']), 0)
+        ov = m if ov is None else jnp.maximum(ov, m)
+    dmax = jnp.max(ov)
+
+    # phase B: out-pixel value fetch (sum_c out_c * grad_c per edge).
+    # The fetch is an exact (2R+1)-step single-lane roll chain — per-pixel
+    # variable shifts admit no log-step shortcut (a rolled value carries
+    # the NEIGHBOR's selection state; measured dead end, NOTES.md) — but
+    # most 8/16-row blocks of a real scene only contain small offsets
+    # (interior pixels have |delta| ~ 1; only silhouette-grazing rows
+    # approach the radius).  The chain therefore runs in |s| chunks of
+    # CHUNK steps, each guarded by pl.when(dmax >= chunk base): interior
+    # blocks pay ~15 steps instead of 2R+1, and the cost scales with the
+    # scene's actual offsets instead of the static radius.
     stacked_v = (jnp.concatenate(planes, axis=0) if nch > 1 else planes[0])
     stacked_g = (jnp.concatenate(grads, axis=0) if nch > 1 else grads[0])
-    outprod = [jnp.zeros_like(av) for _ in range(3)]   # sum_c out_c*grad_c
-    rolled = jnp.roll(stacked_v, radius, axis=1)
-    for s in range(-radius, radius + 1):
-        prod = rolled * stacked_g
-        psum = prod if nch == 1 else sum(
-            prod[c * rows:(c + 1) * rows] for c in range(nch))
+    acc_refs = rest_and_outs[-3:]          # VMEM scratch accumulators
+    for e in range(3):
+        acc_refs[e][...] = jnp.zeros((rows, is_), jnp.float32)
+
+    def chain(lo, hi):
+        """Accumulate select(delta == s, psum) for s in [lo, hi]."""
+        outp = [jnp.zeros((rows, is_), jnp.float32) for _ in range(3)]
+        rolled = (jnp.roll(stacked_v, -lo, axis=1) if lo else stacked_v)
+        for s in range(lo, hi + 1):
+            prod = rolled * stacked_g
+            psum = prod if nch == 1 else sum(
+                prod[c * rows:(c + 1) * rows] for c in range(nch))
+            for e in range(3):
+                outp[e] = jnp.where(per_edge[e]['delta'] == s, psum,
+                                    outp[e])
+            if s < hi:
+                rolled = jnp.roll(rolled, -1, axis=1)
         for e in range(3):
-            outprod[e] = jnp.where(per_edge[e]['delta'] == s, psum,
-                                   outprod[e])
-        if s < radius:
-            rolled = jnp.roll(rolled, -1, axis=1)
+            acc_refs[e][...] += outp[e]
+
+    _CH = 8
+    chain(-min(_CH - 1, radius), min(_CH - 1, radius))   # always: |s| < 8
+    for k in range(1, (radius // _CH) + 1):
+        lo, hi = k * _CH, min(k * _CH + _CH - 1, radius)
+
+        @pl.when(dmax >= lo)
+        def _far(lo=lo, hi=hi):
+            chain(lo, hi)
+            chain(-hi, -lo)
+
+    outprod = [acc_refs[e][...] for e in range(3)]
 
     # stat export: per-row max |d1_out - d1| over active pixels — the
     # scene's actual offset requirement, measured by the kernel itself
     # (free: phase A already computed delta).  The auto fast path compares
     # the max against the radius and falls back to the exact XLA gather
     # when this speculative run would have dropped work.
-    ov = None
-    for e in range(3):
-        m = jnp.where(per_edge[e]['act_in'],
-                      jnp.abs(per_edge[e]['delta']), 0)
-        ov = m if ov is None else jnp.maximum(ov, m)
     outs[6][0] = jnp.broadcast_to(
         jnp.max(ov, axis=1, keepdims=True), (rows, _LANE))
 
@@ -238,7 +269,6 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
     # the span check yet fall outside the clipped window (supported_outsweep
     # already requires is_ % 128 == 0 — this gate is belt-and-suspenders)
     windowed = is_ % _LANE == 0 and is_ >= _WINT * 2 * _LANE
-    winl = _WINT * _LANE
 
     c = pl.program_id(2)
     i = pl.program_id(1)
@@ -337,7 +367,9 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
         if windowed:
             # per-(row, edge) fetch-window tile base + a per-row flag that
             # every edge's span fits; rows that don't fall back to the
-            # full-width fetch (exact either way)
+            # full-width fetch (exact either way).  (A second _WINT=1
+            # ladder level measured FLAT on the teapot bench — the fetch
+            # no longer dominates the kernel; NOTES.md round-3.)
             nt_max = is_ // _LANE - _WINT
             for r in range(rows):
                 ok = None
@@ -406,7 +438,7 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
                 rec = None
                 for e in range(3):
                     sl = pl.ds(e * is_ + tlo_ref[e * rows + r] * _LANE,
-                               winl)
+                               _WINT * _LANE)
                     ohw = (rank_ref[r:r + 1, sl]
                            == c * _KS + slot_iota).astype(jnp.float32)
                     d = jax.lax.dot_general(
@@ -543,6 +575,7 @@ def insweep_channels(settings, a, ppx, ppy, alpha_map, grad_alpha_map,
                                rows, is_)
     spec = pl.BlockSpec((1, rows, is_), lambda b, i: (b, i, 0))
     stat_spec = pl.BlockSpec((1, rows, _LANE), lambda b, i: (b, i, 0))
+    from jax.experimental.pallas import tpu as pltpu
     outs = pl.pallas_call(
         kernel,
         grid=(bs, is_ // rows),
@@ -551,6 +584,7 @@ def insweep_channels(settings, a, ppx, ppy, alpha_map, grad_alpha_map,
         out_shape=[_out_struct((bs, is_, is_), jnp.float32,
                                alpha_map)] * 6
         + [_out_struct((bs, is_, _LANE), jnp.int32, alpha_map)],
+        scratch_shapes=[pltpu.VMEM((rows, is_), jnp.float32)] * 3,
         interpret=interpret,
     )(*inputs)
     # (channels in the walk frame get transposed back for a=0; the stat is
@@ -597,19 +631,23 @@ def _csr_kernel(rows, p, nc, kmax, t, xg, pchk_ref, kofs_ref, chan_ref,
             strip = chan_ref[0]
         # packed pixel order (slot (r, l): y = (l//p)*rows + r, x = l%p —
         # forward_pallas._pixel_coords) splits y into (group, r); each
-        # (r, g) pair is one K=p lane-lane contraction against the slot
-        # one-hot (the MXU is idle here anyway — the kernel is DMA-bound)
+        # (r, g) pair is one K=p lane-lane contraction against a lane
+        # window of the row's slot one-hot (the MXU is idle here anyway —
+        # the kernel is DMA-bound).  The group blocks are pre-transposed
+        # to [rows, nc, p] once so the inner loop's per-row operand is a
+        # free major-dim slice instead of 36 sublane extractions.
         groups = _LANE // p
         chan = strip[:, :, :p].reshape(nc, groups, rows, p)
-        slot = jax.lax.broadcasted_iota(jnp.int32, (_LANE, p), 0)
+        cgt = [jnp.transpose(chan[:, g], (1, 0, 2)) for g in range(groups)]
+        slot = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
         acc = jnp.zeros((_LANE, nc), jnp.float32)
         for r in range(rows):
+            oh = (slot == (pos[r:r + 1, :] - kofs * _LANE)).astype(
+                jnp.float32)                             # [slots, 128]
             for g in range(groups):
-                cg = chan[:, g, r, :]                    # [nc, p]
-                pos_g = pos[r:r + 1, g * p:(g + 1) * p]  # [1, p]
-                oh = (slot == (pos_g - kofs * _LANE)).astype(jnp.float32)
                 acc = acc + jax.lax.dot_general(
-                    oh, cg, (((1,), (1,)), ((), ())),
+                    oh[:, g * p:(g + 1) * p], cgt[g][r],
+                    (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)  # [slots, C]
         out_ref[...] = acc
