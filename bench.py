@@ -127,6 +127,20 @@ def main():
     tuned_ips = _throughput(fwd_bwd_tuned,
                             [(vertices, textures, e) for e in eyes])
 
+    # ---- secondary: approximate-gradient AA (identical rendered values,
+    # gradients from a 1x render — backward at a quarter of the pixels) --
+    approx = nr.Renderer()
+    approx.image_size = IMAGE_SIZE
+    approx.anti_aliasing = 'approx'
+
+    def loss_approx(v, tx, eye):
+        approx.eye = eye
+        return jnp.sum(approx.render(v, faces, tx))
+
+    fwd_bwd_approx = jax.jit(jax.value_and_grad(loss_approx, argnums=(0, 1)))
+    approx_ips = _throughput(fwd_bwd_approx,
+                             [(vertices, textures, e) for e in eyes])
+
     print(json.dumps({
         'metric': f'images/sec fwd+bwd textured {IMAGE_SIZE}^2 teapot '
                   f'bs{BATCH_SIZE} (default Renderer, no tuning)',
@@ -135,6 +149,7 @@ def main():
         'vs_baseline': round(default_ips / REF_IMAGES_PER_SEC_ESTIMATE, 2),
         'silhouette_images_per_sec': round(sil_ips, 2),
         'tuned_images_per_sec': round(tuned_ips, 2),
+        'approx_aa_images_per_sec': round(approx_ips, 2),
     }))
 
 

@@ -23,6 +23,7 @@ from neural_renderer_tpu.ops.transforms import (
     perspective,
 )
 from neural_renderer_tpu.ops.lighting import lighting
+from neural_renderer_tpu.ops.spatial import face_spatial_order, spatial_sort
 from neural_renderer_tpu.ops.vertices_to_faces import vertices_to_faces
 from neural_renderer_tpu.rasterize.config import (
     DEFAULT_ANTI_ALIASING,

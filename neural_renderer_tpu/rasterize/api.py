@@ -9,6 +9,7 @@ the custom-VJP core).
 
 import warnings
 
+import jax
 import jax.numpy as jnp
 
 from neural_renderer_tpu.rasterize.config import (
@@ -87,6 +88,63 @@ def _avg_pool_2x2(x):
     return x.mean(axis=(-3, -1))
 
 
+@jax.custom_vjp
+def _value_of_grad_to(a, b):
+    """Returns ``a`` exactly; routes the output cotangent entirely to ``b``.
+
+    The approximate-AA mode grafts the exact 2x-supersampled forward VALUE
+    onto the 1x render's GRADIENT path (``a - b + b`` style combinations
+    would cost a float rounding; this is bit-exact)."""
+    del b
+    return a
+
+
+def _vog_fwd(a, b):
+    del b
+    return a, None
+
+
+def _vog_bwd(_, g):
+    return jnp.zeros_like(g), g
+
+
+_value_of_grad_to.defvjp(_vog_fwd, _vog_bwd)
+
+
+def _render_pass(faces, textures, background, render_size, pool,
+                 near, far, eps, return_rgb, return_alpha, return_depth,
+                 perf_overrides):
+    """One rasterize_core invocation + the reference's output formatting
+    (NCHW transpose, vertical flip, optional 2x2 mean pool —
+    rasterize.py:953-969).  Returns dict(rgb, alpha, depth) with Nones."""
+    settings = RasterizeSettings(
+        image_size=render_size, near=float(near), far=float(far),
+        eps=float(eps),
+        return_rgb=return_rgb, return_alpha=return_alpha,
+        return_depth=return_depth, **perf_overrides).validate()
+
+    rgb, alpha, depth = rasterize_core(settings, faces, textures, background)
+
+    if return_rgb:
+        rgb = rgb.transpose(0, 3, 1, 2)[:, :, ::-1, :]
+        if pool:
+            rgb = _avg_pool_2x2(rgb)
+    if return_alpha:
+        alpha = alpha[:, ::-1, :]
+        if pool:
+            alpha = _avg_pool_2x2(alpha)
+    if return_depth:
+        depth = depth[:, ::-1, :]
+        if pool:
+            depth = _avg_pool_2x2(depth)
+
+    return {
+        'rgb': rgb if return_rgb else None,
+        'alpha': alpha if return_alpha else None,
+        'depth': depth if return_depth else None,
+    }
+
+
 def rasterize_rgbad(
         faces,
         textures=None,
@@ -106,7 +164,15 @@ def rasterize_rgbad(
       faces: ``[bs, nf, 3, 3]`` NDC face vertex coords.
       textures: ``[bs, nf, ts, ts, ts, 3]`` per-face texture cubes
         (required when return_rgb).
-      anti_aliasing: render at 2x and average-pool down.
+      anti_aliasing: render at 2x and average-pool down.  The string
+        ``'approx'`` opts into approximate-gradient anti-aliasing: the
+        returned VALUES are bit-identical to ``anti_aliasing=True`` (the
+        same 2x supersampled render, forward only), but gradients flow
+        through a second 1x render — the whole backward (the expensive
+        side: K5 sweeps, K6/K7 reductions) runs at a quarter of the 2x
+        pixel count.  The reference's vertex gradients are themselves
+        *defined* approximations (rasterize.py:517-748); 'approx' computes
+        that same definition at output resolution instead of 2x.
     Extra keyword overrides feed the TPU performance knobs of
     ``RasterizeSettings`` (backend, face_chunk, tile_size, ...).
 
@@ -126,36 +192,28 @@ def rasterize_rgbad(
         textures = jnp.zeros((bs, nf, 1, 1, 1, 3), jnp.float32)
     background = _background_array(background_color)
 
+    common = (near, far, eps, return_rgb, return_alpha, return_depth)
+
+    if anti_aliasing == 'approx':
+        # Exact 2x-supersampled VALUES (forward only — no backward
+        # artifacts: CSR emission off), grafted onto the gradients of a 1x
+        # render.  stop_gradient keeps the VJP from ever touching the 2x
+        # pass.
+        val_overrides = dict(perf_overrides,
+                             grad_csr_rows=None, auto_fast=False)
+        val = _render_pass(
+            jax.lax.stop_gradient(faces), jax.lax.stop_gradient(textures),
+            jax.lax.stop_gradient(background), image_size * 2, True,
+            *common, val_overrides)
+        grad = _render_pass(faces, textures, background, image_size, False,
+                            *common, perf_overrides)
+        return {k: (None if val[k] is None
+                    else _value_of_grad_to(val[k], grad[k]))
+                for k in val}
+
     render_size = image_size * 2 if anti_aliasing else image_size
-    settings = RasterizeSettings(
-        image_size=render_size, near=float(near), far=float(far),
-        eps=float(eps),
-        return_rgb=return_rgb, return_alpha=return_alpha,
-        return_depth=return_depth, **perf_overrides).validate()
-
-    rgb, alpha, depth = rasterize_core(settings, faces, textures, background)
-
-    # transpose & vertical flip (rasterize.py:953-960)
-    if return_rgb:
-        rgb = rgb.transpose(0, 3, 1, 2)[:, :, ::-1, :]
-    if return_alpha:
-        alpha = alpha[:, ::-1, :]
-    if return_depth:
-        depth = depth[:, ::-1, :]
-
-    if anti_aliasing:
-        if return_rgb:
-            rgb = _avg_pool_2x2(rgb)
-        if return_alpha:
-            alpha = _avg_pool_2x2(alpha)
-        if return_depth:
-            depth = _avg_pool_2x2(depth)
-
-    return {
-        'rgb': rgb if return_rgb else None,
-        'alpha': alpha if return_alpha else None,
-        'depth': depth if return_depth else None,
-    }
+    return _render_pass(faces, textures, background, render_size,
+                        bool(anti_aliasing), *common, perf_overrides)
 
 
 def rasterize(

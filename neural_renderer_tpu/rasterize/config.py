@@ -75,6 +75,13 @@ class RasterizeSettings:
     # Exact iff `forward_pallas.csr_rows_needed(settings, faces)` <= this
     # value.  None = global segment reduction (exact, no capacity).
     grad_csr_rows: Optional[int] = None
+    # Pallas forward: the face list is two mirrored copies split at this
+    # index ([faces, reversed] — the Renderer's fill_back doubling,
+    # reference renderer.py:37,57,77).  The windowed feature fetch then
+    # tracks one id window per half (a screen patch bins camera-side
+    # originals AND far-side reversed copies, so a single window can never
+    # cover both).  Purely a performance hint; None = one window.
+    mirror_split: Optional[int] = None
     # Emit a host-side warning at runtime whenever a capacity knob above
     # actually drops records on the scene being rendered (binned faces over
     # faces_per_tile_cap, out-sweep crossings over grad_out_cap, out-pixel

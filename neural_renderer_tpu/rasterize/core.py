@@ -84,7 +84,10 @@ def _pallas_multipass_maps(settings, faces, textures, fuse_rgb):
     import dataclasses
 
     from neural_renderer_tpu.rasterize import forward_pallas
-    settings = dataclasses.replace(settings, grad_csr_rows=None)
+    # CSR artifacts are single-pass-only, and the mirror-split hint is
+    # meaningless for face-list slices
+    settings = dataclasses.replace(settings, grad_csr_rows=None,
+                                   mirror_split=None)
     s = forward_pallas.slice_size(forward_pallas._NFEAT + (
         textures.shape[2] ** 3 * 3 if fuse_rgb else 0))
     nf = faces.shape[1]

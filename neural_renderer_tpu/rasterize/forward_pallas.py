@@ -80,6 +80,10 @@ def _warn_csr_overflow(needed_chunks, data_chunks):
 # 19..42: optional ts=2 texel values (cell-major, rgb minor)
 _NFEAT = 19
 _CHUNK = 128          # faces per streamed chunk (f32 lane width)
+_FWT = 8              # feature-fetch window, in 128-face tiles (the
+                      # windowed path engages per (patch, chunk) when the
+                      # chunk's member-face id span fits — spatially
+                      # sorted meshes; exact for any order)
 _VMEM_TABLE_LIMIT = 8 * 1024 * 1024
 
 
@@ -517,17 +521,84 @@ def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb, ts,
     def _compute():
         pz = prefix_ref[0, 0, 0]         # [1, nf_pad] int32
 
-        slot = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, nf_pad), 0)
-        onehot = (pz == (k * _CHUNK + 1 + slot)).astype(jnp.float32)
-
         # features for this chunk's 128 faces; the same [nfeat, CHUNK]
         # orientation is appended to the patch's resident (transposed)
-        # list, so ONE exact one-hot contraction serves both
-        f = jax.lax.dot_general(
-            featT_ref[0], onehot, (((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)             # [nfeat, CHUNK]
-        flist_ref[:, pl.ds(k * _CHUNK, _CHUNK)] = f
+        # list, so ONE exact one-hot contraction serves both.  The
+        # chunk's member positions occupy a face-id span [lo, hi]; when
+        # that span fits _FWT lane-tiles (spatially local face order —
+        # see ops.spatial_sort / Mesh(spatial_order=True)), the one-hot
+        # compare and the MXU fetch contract over the dynamic window
+        # instead of all nf_pad lanes.  Gated at RUN time per
+        # (patch, chunk): exact for any face order.
+        # the Renderer's fill_back doubling makes the list two mirrored
+        # halves; a patch bins camera-side originals AND far-side reversed
+        # copies, so the window tracks each half separately (empty windows
+        # fetch all-zero one-hot columns — exact anywhere)
+        split = getattr(settings, 'mirror_split', None)
+        segs = ([(0, split), (split, nf_pad)]
+                if split and 0 < split < nf_pad else [(0, nf_pad)])
+        wt = _FWT // len(segs)            # window tiles per segment
+        windowed = nf_pad > _FWT * _CHUNK
+        if windowed:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, nf_pad), 1)
+            inw = (pz >= k * _CHUNK + 1) & (pz <= (k + 1) * _CHUNK)
+            fits = None
+            tlos = []
+            for a, bseg in segs:
+                m = inw & (lane >= a) & (lane < bseg)
+                lo = jnp.min(jnp.where(m, lane, nf_pad))
+                hi = jnp.max(jnp.where(m, lane, -1))
+                tlos.append(jnp.minimum(lo // _CHUNK,
+                                        nf_pad // _CHUNK - wt))
+                ok = (hi < 0) | (hi // _CHUNK - lo // _CHUNK < wt)
+                fits = ok if fits is None else fits & ok
+
+            @pl.when(fits)
+            def _fetch_win():
+                acc = None
+                for (a, bseg), tlo in zip(segs, tlos):
+                    sl = pl.ds(tlo * _CHUNK, wt * _CHUNK)
+                    slotw = jax.lax.broadcasted_iota(
+                        jnp.int32, (_CHUNK, wt * _CHUNK), 0)
+                    # clip the one-hot to this segment's lanes: two
+                    # segments' windows may overlap (an empty segment's
+                    # clamped window can land on the other's tiles) and a
+                    # member matched by both would be double-counted
+                    lanew = (jax.lax.broadcasted_iota(
+                        jnp.int32, (1, wt * _CHUNK), 1) + tlo * _CHUNK)
+                    inseg = (lanew >= a) & (lanew < bseg)
+                    ohw = ((prefix_ref[0, 0, 0, 0:1, sl]
+                            == (k * _CHUNK + 1 + slotw))
+                           & inseg).astype(jnp.float32)
+                    fw = featT_ref[0, sl, :]     # [wt*128 faces, nfeat]
+                    d = jax.lax.dot_general(
+                        fw, ohw, (((0,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+                    acc = d if acc is None else acc + d
+                flist_ref[:, pl.ds(k * _CHUNK, _CHUNK)] = acc
+
+            @pl.when(jnp.logical_not(fits))
+            def _fetch_full():
+                slot = jax.lax.broadcasted_iota(
+                    jnp.int32, (_CHUNK, nf_pad), 0)
+                onehot = (pz == (k * _CHUNK + 1 + slot)).astype(
+                    jnp.float32)
+                flist_ref[:, pl.ds(k * _CHUNK, _CHUNK)] = \
+                    jax.lax.dot_general(
+                        featT_ref[0], onehot, (((0,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+
+            f = flist_ref[:, pl.ds(k * _CHUNK, _CHUNK)]
+        else:
+            slot = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, nf_pad), 0)
+            onehot = (pz == (k * _CHUNK + 1 + slot)).astype(jnp.float32)
+            f = jax.lax.dot_general(
+                featT_ref[0], onehot, (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)         # [nfeat, CHUNK]
+            flist_ref[:, pl.ds(k * _CHUNK, _CHUNK)] = f
 
         if csr:
             # global segment id of each chunk slot for the backward's CSR

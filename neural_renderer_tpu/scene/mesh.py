@@ -43,11 +43,24 @@ class Mesh:
 
     def __init__(self, vertices, textures=None, faces=None,
                  texture_size=4, normalization=True,
-                 lr_vertices=1.0, lr_textures=1.0):
+                 lr_vertices=1.0, lr_textures=1.0, spatial_order=False):
         # Reference-compatible constructor: Mesh(filename_obj, ...)
         if isinstance(vertices, str):
             m = Mesh.from_obj(vertices, texture_size, normalization)
             vertices, textures, faces = m.vertices, m.textures, m._faces
+        if spatial_order:
+            # one-time host-side Morton reorder of the faces (and their
+            # texture cubes): activates the Pallas forward's windowed
+            # feature fetch (ops/spatial.py).  Opt-in: z-ties between
+            # EXACTLY coincident faces resolve in the new list order.
+            from neural_renderer_tpu.ops.spatial import face_spatial_order
+            fa = (faces.value if isinstance(faces, _StaticArray)
+                  else np.asarray(faces, np.int32))
+            perm = face_spatial_order(np.asarray(vertices), fa)
+            faces = fa[perm]
+            if textures is not None:
+                textures = jnp.asarray(np.asarray(textures)[perm])
+            self.face_order = perm        # new slot -> original face index
         self.vertices = vertices
         self.textures = textures
         self._faces = (faces if isinstance(faces, _StaticArray)

@@ -30,6 +30,10 @@ class Renderer(object):
     def __init__(self):
         # rendering
         self.image_size = 256
+        # True = the reference's 2x supersample + mean-pool; 'approx' =
+        # identical rendered VALUES but gradients from a 1x render (the
+        # whole backward runs at a quarter of the pixels — see
+        # rasterize_rgbad); False = no anti-aliasing.
         self.anti_aliasing = True
         self.background_color = [0, 0, 0]
         self.fill_back = True
@@ -87,6 +91,16 @@ class Renderer(object):
         return jnp.concatenate(
             [textures, textures.transpose(0, 1, 4, 3, 2, 5)], axis=1)
 
+    def _perf(self, faces):
+        """perf_overrides, plus the fill_back mirror-split hint for the
+        Pallas forward's windowed feature fetch (the doubled list is two
+        mirrored halves; forward_pallas tracks one id window per half)."""
+        if not self.fill_back:
+            return self.perf_overrides
+        perf = dict(self.perf_overrides)
+        perf.setdefault('mirror_split', faces.shape[1] // 2)
+        return perf
+
     # ------------------------------------------------------------------
     def render_silhouettes(self, vertices, faces):
         faces = jnp.asarray(faces)
@@ -96,7 +110,7 @@ class Renderer(object):
         face_coords = vertices_to_faces(vertices, faces)
         return rasterize_silhouettes(
             face_coords, self.image_size, self.anti_aliasing,
-            **self.perf_overrides)
+            **self._perf(faces))
 
     def render_depth(self, vertices, faces):
         faces = jnp.asarray(faces)
@@ -106,7 +120,7 @@ class Renderer(object):
         face_coords = vertices_to_faces(vertices, faces)
         return rasterize_depth(
             face_coords, self.image_size, self.anti_aliasing,
-            **self.perf_overrides)
+            **self._perf(faces))
 
     def render(self, vertices, faces, textures):
         faces = jnp.asarray(faces)
@@ -136,7 +150,7 @@ class Renderer(object):
         return rasterize(
             face_coords, textures, self.image_size, self.anti_aliasing,
             self.near, self.far, self.rasterizer_eps, self.background_color,
-            **self.perf_overrides)
+            **self._perf(faces))
 
     def render_rgbad(self, vertices, faces, textures):
         """All three channels in one pass (no reference Renderer method, but
@@ -158,4 +172,4 @@ class Renderer(object):
         return rasterize_rgbad(
             face_coords, textures, self.image_size, self.anti_aliasing,
             self.near, self.far, self.rasterizer_eps, self.background_color,
-            True, True, True, **self.perf_overrides)
+            True, True, True, **self._perf(faces))

@@ -89,11 +89,22 @@ def tune(renderer, vertices, faces, eyes=None, margin=1.25):
     if renderer.fill_back:
         faces = renderer._fill_back_faces(faces)
 
-    render_size = renderer.image_size * (2 if renderer.anti_aliasing else 1)
-    settings = RasterizeSettings(
-        image_size=render_size, near=float(renderer.near),
-        far=float(renderer.far), return_rgb=False, return_alpha=True,
-        return_depth=False, runtime_checks=False)
+    # anti_aliasing=True renders everything at 2x; 'approx' renders the
+    # VALUE at 2x but the whole differentiable pass (where every grad_*
+    # capacity lives) at 1x — measure the backward capacities at the size
+    # the backward actually runs, and the binning capacity at both sizes
+    # (faces_per_tile_cap applies to both passes).
+    aa = renderer.anti_aliasing
+    value_size = renderer.image_size * (2 if aa else 1)
+    grad_size = renderer.image_size if aa == 'approx' else value_size
+
+    def make_settings(size):
+        return RasterizeSettings(
+            image_size=size, near=float(renderer.near),
+            far=float(renderer.far), return_rgb=False, return_alpha=True,
+            return_depth=False, runtime_checks=False)
+
+    settings = make_settings(grad_size)
 
     saved_eye = renderer.eye
     if eyes is None:
@@ -108,18 +119,22 @@ def tune(renderer, vertices, faces, eyes=None, margin=1.25):
     from neural_renderer_tpu.rasterize import backward, forward_pallas
     from neural_renderer_tpu.rasterize import forward_xla
 
-    # phase 1 — binning capacity: cheap pure-XLA count
+    # phase 1 — binning capacity: cheap pure-XLA count (over every render
+    # size in play: 'approx' AA runs two forwards, 2x value + 1x grad)
+    bin_settings = sorted({value_size, grad_size})
+
     @jax.jit
     def measure_bins(v, eye):
         fc = coords(v, eye)
-        return forward_pallas.binning_overflow(settings, fc)
+        return [forward_pallas.binning_overflow(make_settings(sz), fc)
+                for sz in bin_settings]
 
     worst = {}
     try:
         for eye in eyes:
-            b = measure_bins(vertices, jnp.asarray(eye, jnp.float32))
-            worst['binned_faces'] = max(worst.get('binned_faces', 0),
-                                        int(np.asarray(b)))
+            for b in measure_bins(vertices, jnp.asarray(eye, jnp.float32)):
+                worst['binned_faces'] = max(worst.get('binned_faces', 0),
+                                            int(np.asarray(b)))
 
         # phase 2 — backward capacities, from a face-index map rendered at
         # a cap that phase 1 proved covering (the fast Pallas forward when

@@ -31,6 +31,13 @@ DATA_DIR = pathlib.Path(__file__).resolve().parent / 'data'
 # runs skip all of it.  Harmless on plain CPU hosts.
 import jax
 
+# NR_TEST_PLATFORM=cpu forces the whole suite onto the host backend (the
+# env var JAX_PLATFORMS is too late here — the axon site hook pre-imports
+# jax).  Useful when the TPU tunnel is down: the interpret-mode and
+# golden-value tests still validate everything that doesn't need the chip.
+if os.environ.get('NR_TEST_PLATFORM'):
+    jax.config.update('jax_platforms', os.environ['NR_TEST_PLATFORM'])
+
 jax.config.update(
     'jax_compilation_cache_dir',
     str(pathlib.Path(__file__).resolve().parent.parent / '.jax_cache'))
