@@ -59,7 +59,7 @@ def _sync(tree):
     _ = np.asarray(jax.tree.leaves(tree)[0].ravel()[0])
 
 
-def _throughput(fn, args_per_iter):
+def _throughput(fn, args_per_iter, batch_size=None):
     """images/sec over the azimuth sweep: dispatch every step async, sync
     once at the end (a per-step readback would add the host<->TPU link's
     fixed ~38 ms round trip to EVERY iteration — that measures the network
@@ -71,7 +71,39 @@ def _throughput(fn, args_per_iter):
         out = fn(*args)
     _sync(out)
     sec_per_iter = (time.perf_counter() - t0) / len(args_per_iter)
-    return BATCH_SIZE / sec_per_iter
+    return (BATCH_SIZE if batch_size is None else batch_size) / sec_per_iter
+
+
+def _icosphere(subdiv):
+    """Subdivided icosahedron on the unit sphere (large-mesh bench scene:
+    subdiv=6 -> 81,920 faces; the Renderer's fill_back doubles that)."""
+    t = (1 + 5 ** 0.5) / 2
+    v = np.array([[-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+                  [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+                  [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1]],
+                 np.float64)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    f = np.array([[0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10],
+                  [0, 10, 11], [1, 5, 9], [5, 11, 4], [11, 10, 2],
+                  [10, 7, 6], [7, 1, 8], [3, 9, 4], [3, 4, 2], [3, 2, 6],
+                  [3, 6, 8], [3, 8, 9], [4, 9, 5], [2, 4, 11], [6, 2, 10],
+                  [8, 6, 7], [9, 8, 1]], np.int64)
+    for _ in range(subdiv):
+        verts, edges, nf = list(v), {}, []
+
+        def mid(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in edges:
+                m = v[a] + v[b]
+                edges[key] = len(verts)
+                verts.append(m / np.linalg.norm(m))
+            return edges[key]
+
+        for (a, b, c) in f:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            nf += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        v, f = np.array(verts), np.array(nf)
+    return (v * 0.9).astype(np.float32), f.astype(np.int32)
 
 
 def main():
@@ -109,48 +141,108 @@ def main():
 
     default_ips = _throughput(fwd_bwd,
                               [(vertices, textures, e) for e in eyes])
-    sil_ips = _throughput(fwd_bwd_sil, [(vertices, e) for e in eyes])
+
+    # every further figure is best-effort: a failure in a secondary metric
+    # must never cost the headline JSON line
+    extras = {}
+
+    def secondary(name, fn):
+        try:
+            extras[name] = round(fn(), 2)
+        except Exception as e:                          # noqa: BLE001
+            print(f'# secondary {name} FAILED: {e!r}', file=sys.stderr)
+
+    secondary('silhouette_images_per_sec', lambda: _throughput(
+        fwd_bwd_sil, [(vertices, e) for e in eyes]))
 
     # ---- secondary: nr.tune exact-fit capacities (validated per azimuth) --
-    tuned = nr.Renderer()
-    tuned.image_size = IMAGE_SIZE
-    tuned.perf_overrides = dict(runtime_checks=False)
-    overrides = nr.tune(tuned, vertices, faces, eyes=eyes, margin=1.0)
-    print(f'# tuned setup (validated over all {len(azimuths)} azimuths): '
-          f'{overrides}', file=sys.stderr)
+    def run_tuned():
+        tuned = nr.Renderer()
+        tuned.image_size = IMAGE_SIZE
+        tuned.perf_overrides = dict(runtime_checks=False)
+        overrides = nr.tune(tuned, vertices, faces, eyes=eyes, margin=1.0)
+        print(f'# tuned setup (validated over all {len(azimuths)} azimuths):'
+              f' {overrides}', file=sys.stderr)
 
-    def loss_tuned(v, tx, eye):
-        tuned.eye = eye
-        return jnp.sum(tuned.render(v, faces, tx))
+        def loss_tuned(v, tx, eye):
+            tuned.eye = eye
+            return jnp.sum(tuned.render(v, faces, tx))
 
-    fwd_bwd_tuned = jax.jit(jax.value_and_grad(loss_tuned, argnums=(0, 1)))
-    tuned_ips = _throughput(fwd_bwd_tuned,
-                            [(vertices, textures, e) for e in eyes])
+        fn = jax.jit(jax.value_and_grad(loss_tuned, argnums=(0, 1)))
+        return _throughput(fn, [(vertices, textures, e) for e in eyes])
+
+    secondary('tuned_images_per_sec', run_tuned)
+
+    # ---- secondary: Morton-ordered faces (Mesh(spatial_order=True)) —
+    # activates the forward kernel's windowed feature fetch ------------
+    def run_spatial():
+        v0, f0 = nr.load_obj(path)
+        sf, stx, _ = nr.spatial_sort(
+            v0, f0, np.ones((f0.shape[0], texture_size, texture_size,
+                             texture_size, 3), np.float32))
+        sfaces = jnp.asarray(np.tile(np.asarray(sf)[None],
+                                     (BATCH_SIZE, 1, 1)))
+        stex = jnp.asarray(np.tile(np.asarray(stx)[None],
+                                   (BATCH_SIZE, 1, 1, 1, 1, 1)))
+        spat = nr.Renderer()
+        spat.image_size = IMAGE_SIZE
+        spat.perf_overrides = dict(runtime_checks=False)
+        nr.tune(spat, vertices, sfaces, eyes=eyes, margin=1.0)
+
+        def loss_spat(v, tx, eye):
+            spat.eye = eye
+            return jnp.sum(spat.render(v, sfaces, tx))
+
+        fn = jax.jit(jax.value_and_grad(loss_spat, argnums=(0, 1)))
+        return _throughput(fn, [(vertices, stex, e) for e in eyes])
+
+    secondary('tuned_spatial_images_per_sec', run_spatial)
 
     # ---- secondary: approximate-gradient AA (identical rendered values,
     # gradients from a 1x render — backward at a quarter of the pixels) --
-    approx = nr.Renderer()
-    approx.image_size = IMAGE_SIZE
-    approx.anti_aliasing = 'approx'
+    def run_approx():
+        approx = nr.Renderer()
+        approx.image_size = IMAGE_SIZE
+        approx.anti_aliasing = 'approx'
 
-    def loss_approx(v, tx, eye):
-        approx.eye = eye
-        return jnp.sum(approx.render(v, faces, tx))
+        def loss_approx(v, tx, eye):
+            approx.eye = eye
+            return jnp.sum(approx.render(v, faces, tx))
 
-    fwd_bwd_approx = jax.jit(jax.value_and_grad(loss_approx, argnums=(0, 1)))
-    approx_ips = _throughput(fwd_bwd_approx,
-                             [(vertices, textures, e) for e in eyes])
+        fn = jax.jit(jax.value_and_grad(loss_approx, argnums=(0, 1)))
+        return _throughput(fn, [(vertices, textures, e) for e in eyes])
 
-    print(json.dumps({
+    secondary('approx_aa_images_per_sec', run_approx)
+
+    # ---- secondary: 163k-face mesh (fill_back-doubled icosphere) on the
+    # multi-pass Pallas path — the reference K3 handles arbitrary nf by
+    # just looping longer (rasterize.py:300); here face slices stream
+    # through the same kernels and their z-buffers merge exactly --------
+    def run_large():
+        lbs = 4
+        # 81,920 faces -> 163,840 (subdiv overridable for CPU smoke tests)
+        lv, lf = _icosphere(int(os.environ.get('BENCH_LARGE_SUBDIV', 6)))
+        lvb = jnp.asarray(np.tile(lv[None], (lbs, 1, 1)))
+        lfb = jnp.asarray(np.tile(lf[None], (lbs, 1, 1)))
+        large = nr.Renderer()
+        large.image_size = IMAGE_SIZE
+
+        def loss_large(v, eye):
+            large.eye = eye
+            return jnp.sum(large.render_silhouettes(v, lfb))
+
+        fn = jax.jit(jax.value_and_grad(loss_large))
+        return _throughput(fn, [(lvb, e) for e in eyes], batch_size=lbs)
+
+    secondary('large_mesh_163k_faces_sil_images_per_sec', run_large)
+
+    print(json.dumps(dict({
         'metric': f'images/sec fwd+bwd textured {IMAGE_SIZE}^2 teapot '
                   f'bs{BATCH_SIZE} (default Renderer, no tuning)',
         'value': round(default_ips, 2),
         'unit': 'images/sec',
         'vs_baseline': round(default_ips / REF_IMAGES_PER_SEC_ESTIMATE, 2),
-        'silhouette_images_per_sec': round(sil_ips, 2),
-        'tuned_images_per_sec': round(tuned_ips, 2),
-        'approx_aa_images_per_sec': round(approx_ips, 2),
-    }))
+    }, **extras)))
 
 
 if __name__ == '__main__':

@@ -69,6 +69,23 @@ def test_multipass_index_map_interpret():
     assert np.array_equal(np.asarray(md), np.asarray(sd))
 
 
+def test_100k_face_mesh_matches_oracle_tpu():
+    """>= 100k faces (many multi-pass slices) must stay bit-exact vs the
+    streaming XLA oracle — the reference K3's arbitrary-nf contract
+    (rasterize.py:300) at ShapeNet/scan scale."""
+    if jax.default_backend() != 'tpu':
+        return
+    is_, nf = 128, 104_000
+    fc = _random_scene(nf, bs=1, dup=True)
+    s = RasterizeSettings(image_size=is_, return_rgb=False,
+                          return_alpha=True, return_depth=False,
+                          runtime_checks=False, backend='pallas')
+    mi, _ = jax.jit(lambda a: forward_pallas.forward_face_index_map(s, a))(fc)
+    oi, _ = jax.jit(lambda a: forward_xla.forward_face_index_map(s, a))(fc)
+    assert np.array_equal(np.asarray(mi), np.asarray(oi))
+    assert int(np.asarray((oi >= 0).sum())) > 1000
+
+
 def test_large_mesh_renders_and_differentiates_tpu():
     """A > slice_size mesh must ride the Pallas multi-pass path on TPU:
     the winner map equals the XLA oracle's exactly, and full silhouette
