@@ -1,11 +1,23 @@
-"""Multi-device batch parallelism over a TPU mesh.
+"""Multi-device parallelism over a TPU mesh.
 
 The reference is single-GPU (SURVEY.md section 2.3): its only parallel axis is
-the leading batch dimension carried by every kernel.  Here that axis becomes a
-first-class ``jax.sharding.Mesh`` axis: rendering is embarrassingly
-batch-parallel (``shard_map`` with no collectives), and training steps
-all-reduce gradients over ICI with ``psum`` — the standard data-parallel
-recipe, no custom communication backend needed.
+the leading batch dimension carried by every kernel.  Here two mesh axes are
+first-class:
+
+* **batch** (data parallel): rendering is embarrassingly batch-parallel
+  (``shard_map`` with no collectives); training steps all-reduce gradients
+  over ICI with ``psum``.
+* **faces** (model parallel — the scaling axis for huge meshes, SURVEY
+  §2.3.3): the face list and texture cubes shard over devices, each device
+  rasterizes its slice, and the per-device z-buffers merge with a
+  lexicographic (depth, global id) ``pmin`` that reproduces the reference's
+  sequential first-wins rule over the concatenated list exactly
+  (``rasterize/core._merge_face_axis``).  The backward stays local to each
+  device's slice; vertex gradients sum across shards via ``shard_map``'s
+  own transpose.
+
+The two compose on a 2-D mesh (batch x faces).  No custom communication
+backend — XLA collectives over ICI only.
 """
 
 import functools
@@ -80,6 +92,92 @@ def sharded_render(renderer, mesh, vertices, faces, textures=None,
     if mode in ('rgb', 'rgbad'):
         return f(vertices, faces, textures)
     return f(vertices, faces)
+
+
+FACE_AXIS = 'faces'
+
+
+def shard_faces(mesh, faces, textures=None, axis_name=FACE_AXIS,
+                pad_face=None):
+    """Device-put ``faces`` [bs, nf, 3] (+ per-face ``textures``) sharded on
+    the face axis, padding nf up to a multiple of the axis size with
+    degenerate faces (repeats of ``pad_face`` or vertex 0) that rasterize
+    to nothing."""
+    import numpy as np
+    n = mesh.shape[axis_name]
+    faces = np.asarray(faces)
+    nf = faces.shape[1]
+    pad = (-nf) % n
+    if pad:
+        filler = (np.zeros((faces.shape[0], pad, 3), faces.dtype)
+                  if pad_face is None
+                  else np.tile(np.asarray(pad_face, faces.dtype)
+                               .reshape(1, 1, 3), (faces.shape[0], pad, 1)))
+        faces = np.concatenate([faces, filler], axis=1)
+    fspec = NamedSharding(mesh, P(None, axis_name))
+    out_faces = jax.device_put(faces, fspec)
+    if textures is None:
+        return out_faces
+    textures = np.asarray(textures)
+    if pad:
+        textures = np.concatenate(
+            [textures, np.zeros((textures.shape[0], pad)
+                                + textures.shape[2:], textures.dtype)],
+            axis=1)
+    return out_faces, jax.device_put(textures, fspec)
+
+
+def make_face_sharded_render(renderer, mesh, mode='rgb',
+                             axis_name=FACE_AXIS, batch_axis=None):
+    """Build a jitted render callable with the FACE axis sharded over
+    ``mesh[axis_name]`` (optionally composed with batch sharding over
+    ``mesh[batch_axis]`` on a 2-D mesh).
+
+    vertices are replicated over the face axis; ``faces`` [bs, nf, 3] (and
+    ``textures`` [bs, nf, ts...]) must be sharded on axis 1 (see
+    ``shard_faces``).  Each device rasterizes its slice and the z-buffers
+    merge across the axis inside the rasterizer (``RasterizeSettings.
+    face_axis``).  Rendering is exact for the SHARD-ORDER face list; note
+    ``fill_back`` doubles each local slice in place, so z-ties between
+    exactly coincident faces of *different* shards may resolve differently
+    than the reference's global [faces, reversed] order (a face still
+    always beats its own mirror copy).
+
+    Returns ``f(vertices, faces[, textures])``.
+    """
+    import copy
+
+    r = copy.copy(renderer)
+    r.perf_overrides = dict(renderer.perf_overrides, face_axis=axis_name,
+                            mirror_split=None)
+
+    b = batch_axis
+    v_spec = P(b)                      # vertices [bs, nv, 3]
+    f_spec = P(b, axis_name)           # faces / textures [bs, nf, ...]
+    out_spec = P(b)
+
+    if mode in ('rgb', 'rgbad'):
+        fn = r.render if mode == 'rgb' else r.render_rgbad
+        out_specs = out_spec if mode == 'rgb' else dict(
+            rgb=out_spec, alpha=out_spec, depth=out_spec)
+
+        @functools.partial(shard_map, mesh=mesh,
+                           in_specs=(v_spec, f_spec, f_spec),
+                           out_specs=out_specs)
+        def f(v, fc, tx):
+            return fn(v, fc, tx)
+
+        return jax.jit(f)
+
+    fn = (r.render_silhouettes if mode == 'silhouettes'
+          else r.render_depth)
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(v_spec, f_spec),
+                       out_specs=out_spec)
+    def f(v, fc):
+        return fn(v, fc)
+
+    return jax.jit(f)
 
 
 def make_data_parallel_train_step(loss_fn, opt_update, mesh):

@@ -82,6 +82,16 @@ class RasterizeSettings:
     # originals AND far-side reversed copies, so a single window can never
     # cover both).  Purely a performance hint; None = one window.
     mirror_split: Optional[int] = None
+    # Face-axis model parallelism: the name of a jax.sharding mesh axis the
+    # FACE dimension is sharded over (call rasterize inside shard_map with
+    # faces/textures split on axis 1).  Each device rasterizes its slice;
+    # the z-buffers merge across the axis with a lexicographic
+    # (depth, global face id) pmin — exactly the reference's sequential
+    # first-wins rule over the concatenated list (rasterize.py:334) — and
+    # the backward stays local to each device's slice.  None = no face
+    # sharding.  The reference has no multi-device story at all (SURVEY
+    # §2.3); this is the TPU-native scaling axis for huge meshes.
+    face_axis: Optional[str] = None
     # Emit a host-side warning at runtime whenever a capacity knob above
     # actually drops records on the scene being rendered (binned faces over
     # faces_per_tile_cap, out-sweep crossings over grad_out_cap, out-pixel

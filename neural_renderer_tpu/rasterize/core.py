@@ -232,6 +232,59 @@ def _forward_maps(settings, faces, textures):
     return _xla_forward_maps(settings, faces, textures, fuse_rgb)
 
 
+def _merge_face_axis(settings, maps, faces, textures):
+    """Merge per-device z-buffers across the face-sharded mesh axis.
+
+    Inside ``shard_map`` each device rasterized its face slice; the global
+    winner of a pixel is the lexicographic (depth, global id) minimum over
+    devices — bit-identical to one device rasterizing the concatenated
+    list, because the reference's sequential scan keeps the FIRST face with
+    the strictly smallest depth (rasterize.py:334) and global ids follow
+    concatenation order.  Two scalar-map ``pmin``s find the winner; one
+    fused ``psum`` of winner-masked attribute maps materializes the merged
+    bundle (every map is produced by a collective, so outputs are
+    replicated over the axis).  ``face_index_map`` comes back LOCALIZED
+    (my faces' local ids; -1 elsewhere): the backward then computes
+    gradients for exactly this device's slice from the globally-merged
+    maps.  CSR artifacts stay valid as-is — a pixel this device covered
+    locally but lost globally contributes all-zero backward channels.
+    """
+    ax = settings.face_axis
+    nf_local = faces.shape[1]
+    lo = jax.lax.axis_index(ax) * nf_local
+    fim = maps['face_index_map']
+    covered = fim >= 0
+    if settings.return_rgb and 'rgb_raw' not in maps:
+        # non-fused texture sampling (ts > 4) gathers from the LOCAL
+        # texture slice — it must run on the local winner maps, before the
+        # merge localizes the index map to this device's slice
+        maps = dict(maps, rgb_raw=tex.sample_textures(
+            settings, faces, textures, fim, maps['face_w'],
+            maps['weight_map'], maps['depth_map']))
+    big = jnp.int32(jnp.iinfo(jnp.int32).max)
+    z = jnp.where(covered, maps['depth_map'], jnp.float32(jnp.inf))
+    gid = jnp.where(covered, fim + lo, big)
+    zmin = jax.lax.pmin(z, ax)
+    gid_win = jax.lax.pmin(jnp.where(z == zmin, gid, big), ax)
+    mine = ((gid == gid_win) & covered).astype(jnp.float32)
+
+    def merged(x):
+        extra = (Ellipsis,) + (None,) * (x.ndim - mine.ndim)
+        return jax.lax.psum(x * mine[extra], ax)
+
+    cov = jax.lax.psum(mine, ax)                     # global coverage (0/1)
+    out = dict(maps)
+    out['face_w'] = merged(maps['face_w'])
+    out['weight_map'] = merged(maps['weight_map'])
+    out['depth_map'] = merged(maps['depth_map']) + settings.far * (1.0 - cov)
+    if 'rgb_raw' in maps:
+        out['rgb_raw'] = merged(maps['rgb_raw'])
+    out['face_index_map'] = jnp.where(
+        (gid_win >= lo) & (gid_win < lo + nf_local), gid_win - lo, -1)
+    out['covered_global'] = cov > 0
+    return out
+
+
 def _forward_all(settings, faces, textures, background):
     """Full forward: maps + composited outputs.
 
@@ -240,11 +293,15 @@ def _forward_all(settings, faces, textures, background):
     Returns (rgb, alpha, depth, residuals).
     """
     maps = _forward_maps(settings, faces, textures)
+    if settings.face_axis is not None:
+        maps = _merge_face_axis(settings, maps, faces, textures)
     face_index_map = maps['face_index_map']
     face_w = maps['face_w']
     weight_map = maps['weight_map']
     depth_map = maps['depth_map']
-    covered = face_index_map >= 0
+    # under face sharding the index map is localized — compositing needs
+    # GLOBAL coverage (a pixel won by another device's face is covered)
+    covered = maps.get('covered_global', face_index_map >= 0)
 
     if settings.return_depth:
         # face_inv is pure elementwise recompute from the winner's rows
@@ -437,10 +494,14 @@ def _bwd(settings, res, cotangents):
     # is a strict superset of that behavior.
     background = res['background']
     if settings.return_rgb:
-        uncovered = (res['face_index_map'] < 0).astype(jnp.float32)
+        uncovered = (res['alpha_map'] < 0.5).astype(jnp.float32)
         per_batch = jnp.sum(g_rgb_map * uncovered[..., None], axis=(1, 2))
         grad_background = (jnp.sum(per_batch, axis=0)
                            if background.ndim == 1 else per_batch)
+        # under face sharding every device computes this same full-image
+        # value from the merged maps; it is vma-replicated over the face
+        # axis, so shard_map's transpose passes it through un-psummed — no
+        # correction needed (verified by test_face_parallel)
     else:
         grad_background = jnp.zeros_like(background)
 
