@@ -52,7 +52,7 @@ __version__ = '0.1.0'
 
 __all__ = [
     'cross', 'get_points_from_angles', 'look', 'look_at', 'perspective',
-    'lighting', 'vertices_to_faces',
+    'lighting', 'vertices_to_faces', 'face_spatial_order', 'spatial_sort',
     'RasterizeSettings', 'Rasterize', 'rasterize', 'rasterize_depth',
     'rasterize_rgbad', 'rasterize_silhouettes', 'use_unsafe_rasterizer',
     'DEFAULT_IMAGE_SIZE', 'DEFAULT_ANTI_ALIASING', 'DEFAULT_NEAR',
