@@ -69,6 +69,39 @@ def test_approx_aa_grads_match_1x_render():
     assert float(jnp.abs(gt_a).max()) > 0
 
 
+def test_tune_with_approx_aa():
+    """tune() under anti_aliasing='approx' measures binning at BOTH render
+    sizes (2x value pass + 1x grad pass) and the backward capacities at
+    the 1x size the backward actually runs; the tuned renderer's output
+    stays bit-identical to the untuned one."""
+    v, f = nr.load_obj(os.path.join(DATA, 'teapot.obj'))
+    vb = jnp.asarray(v)[None]
+    fb = jnp.asarray(np.asarray(f))[None]
+    eye = nr.get_points_from_angles(
+        np.float32(2.732), np.float32(30.0), np.float32(90.0))
+
+    r = nr.Renderer()
+    r.image_size = 64
+    r.anti_aliasing = 'approx'
+    r.eye = eye
+    overrides = nr.tune(r, vb, fb, eyes=[jnp.asarray(eye)])
+    assert overrides['grad_out_cap'] > 0
+    assert r.perf_overrides['grad_out_cap'] == overrides['grad_out_cap']
+
+    plain = nr.Renderer()
+    plain.image_size = 64
+    plain.anti_aliasing = 'approx'
+    plain.eye = eye
+    want = jax.jit(plain.render_silhouettes)(vb, fb)
+    got = jax.jit(r.render_silhouettes)(vb, fb)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+    g = jax.jit(jax.grad(
+        lambda vv: jnp.sum(r.render_silhouettes(vv, fb))))(vb)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+
 def test_renderer_approx_aa_end_to_end():
     v, f = nr.load_obj(os.path.join(DATA, 'teapot.obj'))
     vb = jnp.asarray(v)[None]
