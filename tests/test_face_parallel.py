@@ -177,6 +177,29 @@ def test_face_sharded_gradients_match_single_device():
     assert float(np.abs(a).max()) > 0
     assert float(np.abs(np.asarray(gs[1])).max()) > 0
 
+    # K7 depth backward under face sharding (analytic, per-pixel -> its
+    # winner's slice): same near-bit contract
+    dseed = seed[:, 0]
+
+    def dloss_single(f_, s):
+        d = nr.rasterize_depth(f_, is_, False, **XLA)
+        return jnp.sum(d * s)
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(None, 'faces'),), out_specs=P())
+    def render_depth_sharded(f_):
+        return nr.rasterize_depth(f_, is_, False, face_axis='faces', **XLA)
+
+    gd_s = jax.jit(jax.grad(dloss_single))(*_cpu(fc, dseed))
+    gd_p = jax.jit(jax.grad(
+        lambda f_, s: jnp.sum(render_depth_sharded(f_) * s)))(
+            _put(mesh, P(None, 'faces'), fc), _put(mesh, P(), dseed))
+    a, b = np.asarray(gd_s), np.asarray(gd_p)
+    assert (a != b).mean() < 0.005
+    np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4 * np.abs(a).max(),
+                               err_msg='grad faces (depth)')
+    assert np.abs(a).max() > 0
+
 
 def test_make_face_sharded_render_end_to_end():
     """Renderer-level helper: silhouette through the full camera pipeline,
