@@ -276,7 +276,10 @@ def _merge_face_axis(settings, maps, faces, textures):
     out = dict(maps)
     out['face_w'] = merged(maps['face_w'])
     out['weight_map'] = merged(maps['weight_map'])
-    out['depth_map'] = merged(maps['depth_map']) + settings.far * (1.0 - cov)
+    # zmin IS the winner's depth bit-exactly (the z key is depth where
+    # covered) — no need to carry the depth map in the psum payload
+    out['depth_map'] = jnp.where(jnp.isinf(zmin),
+                                 jnp.float32(settings.far), zmin)
     if 'rgb_raw' in maps:
         out['rgb_raw'] = merged(maps['rgb_raw'])
     out['face_index_map'] = jnp.where(

@@ -43,7 +43,8 @@ class Mesh:
 
     def __init__(self, vertices, textures=None, faces=None,
                  texture_size=4, normalization=True,
-                 lr_vertices=1.0, lr_textures=1.0, spatial_order=False):
+                 lr_vertices=1.0, lr_textures=1.0, spatial_order=False,
+                 face_order=None):
         # Reference-compatible constructor: Mesh(filename_obj, ...)
         if isinstance(vertices, str):
             m = Mesh.from_obj(vertices, texture_size, normalization)
@@ -60,7 +61,11 @@ class Mesh:
             faces = fa[perm]
             if textures is not None:
                 textures = jnp.asarray(np.asarray(textures)[perm])
-            self.face_order = perm        # new slot -> original face index
+            face_order = perm             # new slot -> original face index
+        # static aux (survives pytree round-trips: set_lr, tree_map, jit)
+        self._face_order = (
+            face_order if face_order is None or isinstance(
+                face_order, _StaticArray) else _StaticArray(face_order))
         self.vertices = vertices
         self.textures = textures
         self._faces = (faces if isinstance(faces, _StaticArray)
@@ -86,6 +91,15 @@ class Mesh:
     @property
     def faces(self):
         return jnp.asarray(self._faces.value)
+
+    @property
+    def face_order(self):
+        """[nf] int32 new-slot -> original-face-index permutation when the
+        mesh was built with ``spatial_order=True``; None otherwise.  Use to
+        map optimized per-face data back to the source OBJ's face order:
+        ``original[perm] = reordered`` i.e. ``original = np.empty_like(r);
+        original[...] = r[np.argsort(perm)]``."""
+        return None if self._face_order is None else self._face_order.value
 
     @property
     def num_vertices(self):
@@ -119,13 +133,14 @@ class Mesh:
         Returns a new Mesh (pytrees are immutable-style)."""
         return Mesh(vertices=self.vertices, textures=self.textures,
                     faces=self._faces, lr_vertices=lr_vertices,
-                    lr_textures=lr_textures)
+                    lr_textures=lr_textures, face_order=self._face_order)
 
     def lr_scales(self):
         """Mesh-shaped pytree of per-leaf LR multipliers for ``nr.adam``."""
         return Mesh(vertices=self.lr_vertices, textures=self.lr_textures,
                     faces=self._faces, lr_vertices=self.lr_vertices,
-                    lr_textures=self.lr_textures)
+                    lr_textures=self.lr_textures,
+                    face_order=self._face_order)
 
     def trainables(self):
         """The trainable leaves as a dict pytree."""
@@ -134,18 +149,21 @@ class Mesh:
     def with_trainables(self, params):
         return Mesh(vertices=params['vertices'], textures=params['textures'],
                     faces=self._faces, lr_vertices=self.lr_vertices,
-                    lr_textures=self.lr_textures)
+                    lr_textures=self.lr_textures,
+                    face_order=self._face_order)
 
     def tree_flatten(self):
         children = (self.vertices, self.textures)
-        aux = (self._faces, self.lr_vertices, self.lr_textures)
+        aux = (self._faces, self.lr_vertices, self.lr_textures,
+               self._face_order)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        faces, lr_vertices, lr_textures = aux
+        faces, lr_vertices, lr_textures, face_order = aux
         return cls(vertices=children[0], textures=children[1], faces=faces,
-                   lr_vertices=lr_vertices, lr_textures=lr_textures)
+                   lr_vertices=lr_vertices, lr_textures=lr_textures,
+                   face_order=face_order)
 
 
 jax.tree_util.register_pytree_node(

@@ -20,7 +20,7 @@ import neural_renderer_tpu as nr
 DATA = os.path.join(os.path.dirname(__file__), 'data')
 
 
-def _scene(bs=1):
+def _scene():
     v, f = nr.load_obj(os.path.join(DATA, 'teapot.obj'))
     eye = jnp.asarray(nr.get_points_from_angles(
         np.float32(2.732), np.float32(30.0), np.float32(45.0)))

@@ -249,6 +249,114 @@ def test_make_face_sharded_render_end_to_end():
     assert np.isfinite(img).all() and img.max() > 0
 
 
+def test_face_sharded_pallas_csr_interpret():
+    """The full Pallas pipeline (shaded forward emitting CSR artifacts +
+    in/out-sweep backward + CSR face reduction) under face sharding, in
+    interpret mode on a 2-device CPU mesh.  Validates the merge docstring's
+    claim that per-device CSR artifacts stay correct: a pixel a device
+    covered locally but lost globally contributes all-zero channels, so
+    the local CSR reduction still sums exactly its faces' gradients."""
+    from unittest import mock
+
+    from neural_renderer_tpu.rasterize import backward_pallas, forward_pallas
+
+    devices = conftest.cpu_mesh_devices(2)
+    mesh = Mesh(np.asarray(devices), ('faces',))
+
+    # tetrahedron: 4 faces -> 2 per device; every face covers pixels and
+    # the z-merge decides real occlusions between shards
+    vertices = np.asarray(
+        [[1., 0., 0.], [0., 1., 0.], [0., 0., 1.], [0., 0., 0.]],
+        np.float32) * 2 - 1
+    faces = np.asarray(
+        [[1, 3, 2], [3, 1, 0], [2, 0, 1], [0, 2, 3]], np.int32)
+    eye = jnp.asarray(nr.get_points_from_angles(
+        np.float32(2.732), np.float32(15.0), np.float32(30.0)))
+    fc = np.asarray(nr.vertices_to_faces(
+        nr.perspective(nr.look_at(_cpu(jnp.asarray(vertices))[None], eye),
+                       30.0), _cpu(jnp.asarray(faces))[None]))
+
+    caps = dict(runtime_checks=False, backend='pallas',
+                faces_per_tile_cap=128, grad_csr_rows=256 * 17,
+                grad_out_cap=2048, grad_offset_radius=96, grad_row_cap=128)
+    is_ = 128
+    seed = np.asarray(jax.random.normal(jax.random.PRNGKey(5),
+                                        (1, is_, is_)))
+
+    def interp(fn):
+        return functools.partial(fn, interpret=True)
+
+    patches = [
+        mock.patch.object(forward_pallas, 'forward_shaded',
+                          interp(forward_pallas.forward_shaded)),
+        mock.patch.object(backward_pallas, 'insweep_channels',
+                          interp(backward_pallas.insweep_channels)),
+        mock.patch.object(backward_pallas, 'outsweep_channels',
+                          interp(backward_pallas.outsweep_channels)),
+        mock.patch.object(backward_pallas, 'csr_partial_channels',
+                          interp(backward_pallas.csr_partial_channels)),
+        mock.patch.object(forward_pallas, 'supported', lambda s, fc: True),
+        mock.patch.object(backward_pallas, 'supported',
+                          lambda s: s.grad_offset_radius is not None),
+        mock.patch.object(backward_pallas, 'supported_outsweep',
+                          lambda s: True),
+    ]
+
+    def loss_single(a, s):
+        sil = nr.rasterize_silhouettes(a, is_, False, **caps)
+        return jnp.sum(sil * s), sil
+
+    # check_vma=False: interpret-mode pallas discharges index maps to jax
+    # ops that trip the vma check on device-varying scalar-prefetch tables
+    # (see test_parallel.py::test_pallas_interpret_under_multidevice_...).
+    # With the check off, shard_map cannot prove the P() output replicated
+    # and its transpose AVERAGES the cotangent over the axis — so take the
+    # gradient INSIDE the body (grad of the local loss w.r.t. the local
+    # slice, out_spec P(None, 'faces')), which has no such transpose.  The
+    # compiled check_vma=True path differentiates through shard_map
+    # directly (test_face_sharded_gradients_match_single_device).
+    def local_loss(a, s):
+        sil = nr.rasterize_silhouettes(a, is_, False, face_axis='faces',
+                                       **caps)
+        return jnp.sum(sil * s)
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(P(None, 'faces'), P()),
+        out_specs=P(), check_vma=False)
+    def render_sharded(a, s):
+        sil = nr.rasterize_silhouettes(a, is_, False, face_axis='faces',
+                                       **caps)
+        return sil
+
+    grad_sharded_fn = shard_map(
+        jax.grad(local_loss), mesh=mesh,
+        in_specs=(P(None, 'faces'), P()), out_specs=P(None, 'faces'),
+        check_vma=False)
+
+    for p in patches:
+        p.__enter__()
+    try:
+        g_single = jax.jit(jax.grad(
+            lambda a, s: loss_single(a, s)[0]))(*_cpu(fc, seed))
+        single_sil = jax.jit(
+            lambda a, s: loss_single(a, s)[1])(*_cpu(fc, seed))
+        sharded_sil = jax.jit(render_sharded)(
+            _put(mesh, P(None, 'faces'), fc), _put(mesh, P(), seed))
+        g_sharded = jax.jit(grad_sharded_fn)(
+            _put(mesh, P(None, 'faces'), fc), _put(mesh, P(), seed))
+    finally:
+        for p in patches:
+            p.__exit__(None, None, None)
+
+    np.testing.assert_array_equal(np.asarray(single_sil),
+                                  np.asarray(sharded_sil))
+    assert float(np.asarray(single_sil).sum()) > 50
+    a, b = np.asarray(g_single), np.asarray(g_sharded)
+    assert np.abs(a).max() > 0
+    np.testing.assert_allclose(b, a, rtol=5e-4, atol=5e-4 * np.abs(a).max(),
+                               err_msg='face grads (pallas CSR sharded)')
+
+
 def test_face_sharded_composes_with_batch_axis():
     """2-D mesh (batch x faces): DP and face-sharding in one program."""
     mesh = _mesh(8, ('batch', 'faces'))

@@ -9,6 +9,7 @@ from unittest import mock
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import neural_renderer_tpu as nr
 from neural_renderer_tpu.rasterize import core, forward_pallas, forward_xla
@@ -74,7 +75,7 @@ def test_100k_face_mesh_matches_oracle_tpu():
     streaming XLA oracle — the reference K3's arbitrary-nf contract
     (rasterize.py:300) at ShapeNet/scan scale."""
     if jax.default_backend() != 'tpu':
-        return
+        pytest.skip('needs the TPU chip (compiled Mosaic path)')
     is_, nf = 128, 104_000
     fc = _random_scene(nf, bs=1, dup=True)
     s = RasterizeSettings(image_size=is_, return_rgb=False,
@@ -91,7 +92,7 @@ def test_large_mesh_renders_and_differentiates_tpu():
     the winner map equals the XLA oracle's exactly, and full silhouette
     gradients match the capacity-free dense reference."""
     if jax.default_backend() != 'tpu':
-        return
+        pytest.skip('needs the TPU chip (compiled Mosaic path)')
     is_ = 128
     nf = forward_pallas.slice_size() + 4000        # 2 passes
     fc = _random_scene(nf, bs=1, dup=True)

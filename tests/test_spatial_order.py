@@ -14,6 +14,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import neural_renderer_tpu as nr
 from neural_renderer_tpu.rasterize import forward_pallas, forward_xla
@@ -39,9 +40,31 @@ def test_face_spatial_order_is_permutation():
     assert d1 < d0, (d0, d1)         # successive faces are near each other
 
 
+def test_spatial_order_mesh_construction():
+    """Mesh(spatial_order=True): faces/textures permuted together, and
+    face_order survives pytree round-trips (it lives in static aux data —
+    set_lr and tree_map rebuild the Mesh via tree_unflatten)."""
+    v, f = nr.load_obj(os.path.join(DATA, 'teapot.obj'))
+    rng = np.random.RandomState(0)
+    tx = rng.uniform(0, 1, (f.shape[0], 2, 2, 2, 3)).astype('float32')
+    m0 = nr.Mesh(vertices=jnp.asarray(v), textures=jnp.asarray(tx),
+                 faces=f)
+    m1 = nr.Mesh(vertices=jnp.asarray(v), textures=jnp.asarray(tx),
+                 faces=f, spatial_order=True)
+    assert not np.array_equal(np.asarray(m1.faces), np.asarray(f))
+    assert np.array_equal(np.asarray(m1.faces),
+                          np.asarray(f)[m1.face_order])
+    assert np.array_equal(np.asarray(m1.textures),
+                          np.asarray(tx)[m1.face_order])
+    assert np.array_equal(m1.set_lr(0.1, 1.0).face_order, m1.face_order)
+    m1rt = jax.tree.map(lambda x: x, m1)
+    assert np.array_equal(m1rt.face_order, m1.face_order)
+    assert m0.face_order is None
+
+
 def test_spatial_order_mesh_renders_identically():
     if jax.default_backend() != 'tpu':
-        return
+        pytest.skip('needs the TPU chip (compiled Mosaic path)')
     v, f = nr.load_obj(os.path.join(DATA, 'teapot.obj'))
     rng = np.random.RandomState(0)
     tx = rng.uniform(0, 1, (f.shape[0], 2, 2, 2, 3)).astype('float32')
@@ -50,9 +73,6 @@ def test_spatial_order_mesh_renders_identically():
                  faces=f)
     m1 = nr.Mesh(vertices=jnp.asarray(v), textures=jnp.asarray(tx),
                  faces=f, spatial_order=True)
-    assert not np.array_equal(np.asarray(m1.faces), np.asarray(f))
-    assert np.array_equal(np.asarray(m1.faces),
-                          np.asarray(f)[m1.face_order])
 
     r = nr.Renderer()
     r.image_size = 128
@@ -110,7 +130,7 @@ def test_windowed_fetch_matches_oracle_interpret():
 
 def test_windowed_fetch_matches_oracle_on_sorted_teapot():
     if jax.default_backend() != 'tpu':
-        return
+        pytest.skip('needs the TPU chip (compiled Mosaic path)')
     v, f = nr.load_obj(os.path.join(DATA, 'teapot.obj'))
     fs, _, _ = nr.spatial_sort(v, f)
     is_ = 256
