@@ -143,10 +143,19 @@ def main():
                               [(vertices, textures, e) for e in eyes])
 
     # every further figure is best-effort: a failure in a secondary metric
-    # must never cost the headline JSON line
+    # must never cost the headline JSON line, and cold remote compiles must
+    # not starve it either — skip remaining secondaries once the wall-clock
+    # budget is spent (the driver bounds the whole run)
     extras = {}
+    t_start = time.perf_counter()
+    budget = float(os.environ.get('BENCH_SECONDARY_BUDGET_SEC', 2400))
 
     def secondary(name, fn):
+        spent = time.perf_counter() - t_start
+        if spent > budget:
+            print(f'# secondary {name} SKIPPED: {spent:.0f}s elapsed > '
+                  f'{budget:.0f}s budget', file=sys.stderr)
+            return
         try:
             extras[name] = round(fn(), 2)
         except Exception as e:                          # noqa: BLE001
