@@ -195,7 +195,8 @@ def main():
                                    (BATCH_SIZE, 1, 1, 1, 1, 1)))
         spat = nr.Renderer()
         spat.image_size = IMAGE_SIZE
-        spat.perf_overrides = dict(runtime_checks=False)
+        spat.perf_overrides = dict(runtime_checks=False,
+                                   windowed_fetch=True)
         nr.tune(spat, vertices, sfaces, eyes=eyes, margin=1.0)
 
         def loss_spat(v, tx, eye):

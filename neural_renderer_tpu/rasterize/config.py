@@ -82,6 +82,15 @@ class RasterizeSettings:
     # originals AND far-side reversed copies, so a single window can never
     # cover both).  Purely a performance hint; None = one window.
     mirror_split: Optional[int] = None
+    # Pallas forward: opt into the windowed feature fetch — the chunk
+    # fetch contracts over a dynamic face-id tile window whenever the
+    # chunk's member-id span fits (gated per patch-chunk at RUN time, so
+    # results stay exact for ANY face order; the window only ever *fits*
+    # when faces are id-local, e.g. Mesh(spatial_order=True) /
+    # nr.spatial_sort).  Off by default: on unsorted meshes the windows
+    # rarely fit, so the span bookkeeping is pure overhead on the default
+    # path.  Set True when rendering a spatially-sorted mesh.
+    windowed_fetch: bool = False
     # Face-axis model parallelism: the name of a jax.sharding mesh axis the
     # FACE dimension is sharded over (call rasterize inside shard_map with
     # faces/textures split on axis 1).  Each device rasterizes its slice;

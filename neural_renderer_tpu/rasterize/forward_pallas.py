@@ -538,7 +538,8 @@ def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb, ts,
         segs = ([(0, split), (split, nf_pad)]
                 if split and 0 < split < nf_pad else [(0, nf_pad)])
         wt = _FWT // len(segs)            # window tiles per segment
-        windowed = nf_pad > _FWT * _CHUNK
+        windowed = (getattr(settings, 'windowed_fetch', False)
+                    and nf_pad > _FWT * _CHUNK)
         if windowed:
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, nf_pad), 1)
             inw = (pz >= k * _CHUNK + 1) & (pz <= (k + 1) * _CHUNK)

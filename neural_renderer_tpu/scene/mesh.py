@@ -51,9 +51,11 @@ class Mesh:
             vertices, textures, faces = m.vertices, m.textures, m._faces
         if spatial_order:
             # one-time host-side Morton reorder of the faces (and their
-            # texture cubes): activates the Pallas forward's windowed
-            # feature fetch (ops/spatial.py).  Opt-in: z-ties between
-            # EXACTLY coincident faces resolve in the new list order.
+            # texture cubes) so the Pallas forward's windowed feature
+            # fetch pays off — pair with
+            # ``renderer.perf_overrides = dict(windowed_fetch=True)``
+            # (ops/spatial.py).  Opt-in: z-ties between EXACTLY
+            # coincident faces resolve in the new list order.
             from neural_renderer_tpu.ops.spatial import face_spatial_order
             fa = (faces.value if isinstance(faces, _StaticArray)
                   else np.asarray(faces, np.int32))

@@ -76,6 +76,8 @@ def test_spatial_order_mesh_renders_identically():
 
     r = nr.Renderer()
     r.image_size = 128
+    # windowed fetch on for BOTH meshes: runtime-gated, exact either way
+    r.perf_overrides = dict(windowed_fetch=True)
     r.eye = nr.get_points_from_angles(
         np.float32(2.732), np.float32(30.0), np.float32(45.0))
 
@@ -118,7 +120,7 @@ def test_windowed_fetch_matches_oracle_interpret():
         s = RasterizeSettings(image_size=is_, return_rgb=False,
                               return_alpha=True, return_depth=False,
                               runtime_checks=False, backend='pallas',
-                              mirror_split=split)
+                              mirror_split=split, windowed_fetch=True)
         got = forward_pallas.forward_shaded(s, fc, interpret=True)[
             'face_index_map']
         want, _ = jax.jit(
@@ -145,7 +147,8 @@ def test_windowed_fetch_matches_oracle_on_sorted_teapot():
 
     s = RasterizeSettings(image_size=is_, return_rgb=False,
                           return_alpha=True, return_depth=False,
-                          runtime_checks=False, backend='pallas')
+                          runtime_checks=False, backend='pallas',
+                          mirror_split=fs.shape[0], windowed_fetch=True)
     got = jax.jit(lambda a: forward_pallas.forward_shaded(
         s, a)['face_index_map'])(fc)
     want, _ = jax.jit(
