@@ -527,13 +527,29 @@ def pixel_map_channels(settings, faces, face_index_map, face_w, rgb_map,
 def scatter_pixel_channels(sums, bs, nf, grad=None):
     """Distribute the 12 segment-reduced K5 channels into grad_faces rows.
 
-    sums: ``[bs*nf, 12]`` (the caller's fused segment reduction)."""
-    if grad is None:
-        grad = jnp.zeros((bs * nf, 3, 3), jnp.float32)
-    for ch, (e, a) in enumerate(_EA):
-        grad = grad.at[:, e, 1 - a].add(sums[:, 2 * ch])
-        grad = grad.at[:, (e + 1) % 3, 1 - a].add(sums[:, 2 * ch + 1])
-    return grad.reshape(bs, nf, 3, 3)
+    sums: ``[bs*nf, 12]`` (the caller's fused segment reduction).
+
+    The channel->slot map is STATIC: slot (vertex v, coord c) receives
+    exactly the c0 column of walk (e=v, a=1-c) plus the c1 column of walk
+    (e=(v+2)%3, a=1-c) — so this is pure column arithmetic (6 adds + one
+    stack), not 24 scatter-adds over bs*nf rows (~20 ns/row each on TPU).
+    Bit-exact vs the scatter formulation: each slot sums the same two
+    columns (two-term f32 addition is commutative)."""
+    g2 = None if grad is None else grad.reshape(-1, 3, 3)
+    cols = []
+    for v in range(3):
+        for c in range(2):
+            ch0 = _EA.index((v, 1 - c))            # c0 of the (v, 1-c) walk
+            ch1 = _EA.index(((v + 2) % 3, 1 - c))  # c1: (e+1)%3 == v
+            c0, c1 = sums[:, 2 * ch0], sums[:, 2 * ch1 + 1]
+            # scatter-order adds: the old loop applied whichever walk has
+            # the lower channel index first (matters only when grad given)
+            first, second = (c0, c1) if ch0 < ch1 else (c1, c0)
+            cols.append(c0 + c1 if g2 is None
+                        else (g2[:, v, c] + first) + second)
+        cols.append(jnp.zeros_like(cols[-1]) if g2 is None
+                    else g2[:, v, 2])              # z column (K5 is x/y-only)
+    return jnp.stack(cols, axis=-1).reshape(bs, nf, 3, 3)
 
 
 def grad_faces_pixel_map(settings, faces, face_index_map, face_w, rgb_map,
