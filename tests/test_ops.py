@@ -104,6 +104,50 @@ def test_vertices_to_faces_grad_is_scatter_add():
     np.testing.assert_allclose(g[0, 2], [0, 0, 0])
 
 
+def test_vertices_to_faces_grad_paths_agree():
+    """The MXU incidence-contraction backward (shared faces across the
+    batch) and the scatter-add backward (per-batch topologies / over the
+    one-hot budget) compute the same gradient, and both match a numpy
+    scatter reference."""
+    from neural_renderer_tpu.ops import vertices_to_faces as v2f_mod
+
+    rng = np.random.RandomState(7)
+    vertices = rng.normal(size=(3, 9, 3)).astype('float32')
+    f_shared = np.tile(rng.randint(0, 9, size=(1, 5, 3)), (3, 1, 1)) \
+        .astype('int32')
+    f_differ = rng.randint(0, 9, size=(3, 5, 3)).astype('int32')
+    cot = rng.normal(size=(3, 5, 3, 3)).astype('float32')
+
+    def ref_grad(faces):
+        g = np.zeros_like(vertices)
+        for b in range(3):
+            for f in range(5):
+                for k in range(3):
+                    g[b, faces[b, f, k]] += cot[b, f, k]
+        return g
+
+    def grad_of(faces):
+        def f(v):
+            return jnp.sum(nr.vertices_to_faces(v, jnp.asarray(faces))
+                           * jnp.asarray(cot))
+        return np.asarray(jax.jit(jax.grad(f))(jnp.asarray(vertices)))
+
+    # shared faces -> the runtime cond picks the matmul branch
+    np.testing.assert_allclose(grad_of(f_shared), ref_grad(f_shared),
+                               rtol=1e-5, atol=1e-6)
+    # per-batch topologies -> the scatter branch
+    np.testing.assert_allclose(grad_of(f_differ), ref_grad(f_differ),
+                               rtol=1e-5, atol=1e-6)
+    # over-budget meshes skip the cond entirely and scatter
+    orig = v2f_mod._ONEHOT_MAX_ELEMS
+    try:
+        v2f_mod._ONEHOT_MAX_ELEMS = 0
+        np.testing.assert_allclose(grad_of(f_shared), ref_grad(f_shared),
+                                   rtol=1e-5, atol=1e-6)
+    finally:
+        v2f_mod._ONEHOT_MAX_ELEMS = orig
+
+
 def test_lighting_executable_and_ambient():
     """Reference test_lighting.py smoke + a checkable ambient-only case."""
     rng = np.random.RandomState(4)
