@@ -408,6 +408,16 @@ def _bwd(settings, res, cotangents):
             settings, res['face_index_map'], res['face_w'],
             res['weight_map'], res['depth_map'], g_rgb_map)
         channels.append(('k6', rows))
+    elif (settings.return_rgb
+          and tex.cell_channels_fit(settings, bs, ts)):
+        # ts=3/4 (the reference Mesh default is ts=4, mesh.py:21): the
+        # cell-resolved rows ride the same fused reduction; the old path
+        # paid 8 separate all-pixel segment_sums for the data-dependent
+        # corner cells
+        rows = tex.texture_channels_cells(
+            settings, res['face_index_map'], res['face_w'],
+            res['weight_map'], res['depth_map'], g_rgb_map, ts)
+        channels.append(('k6', rows))
 
     sums = {}
     if channels:
@@ -481,7 +491,7 @@ def _bwd(settings, res, cotangents):
         grad_faces = grad_faces + sums['k7'].reshape(bs, nf, 3, 3)
 
     if settings.return_rgb:
-        if ts == 2:
+        if 'k6' in sums:
             grad_textures = sums['k6'].reshape(res['textures'].shape)
         else:
             grad_textures = tex.grad_textures(

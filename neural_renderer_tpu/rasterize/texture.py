@@ -122,6 +122,67 @@ def texture_channels_ts2(settings, face_index_map, face_w, weight_map,
     return jnp.concatenate(rows, axis=-1)                    # [bs,is,is,24]
 
 
+# texture_channels_cells materializes [bs, is, is, ts^3 * 3] rows; cap the
+# bytes so huge-batch ts=4 runs keep the lean 8-pass scatter instead of
+# risking HBM pressure (bs=4 at 512^2 ts=4 is ~0.8 GB; bs=32 would be 6.4 GB)
+_CELL_ROWS_MAX_BYTES = 4 * 1024 ** 3
+
+
+def cell_channels_fit(settings, bs, ts):
+    """Whether the cell-resolved K6 rows for this (bs, is, ts) fit the
+    materialization budget (3 <= ts <= 4 only)."""
+    if not 3 <= ts <= 4:
+        return False
+    rows_bytes = bs * settings.image_size ** 2 * (ts ** 3) * 3 * 4
+    return rows_bytes <= _CELL_ROWS_MAX_BYTES
+
+
+def texture_channels_cells(settings, face_index_map, face_w, weight_map,
+                           depth_map, grad_rgb_map, ts):
+    """K6 per-pixel contributions for 3 <= ts <= 4: cell-resolved rows
+    ``[bs, is, is, ts^3 * 3]`` whose channel ``isc*3 + c`` holds the
+    pixel's trilinear weight for cube cell ``isc`` times ``grad_rgb_c``.
+
+    The 8-corner sum factorizes per axis: corner weights are products of
+    per-axis (1-frac | frac) factors at (lo | lo+1), so the cell weight is
+    ``A0[c0] * A1[c1] * A2[c2]`` with ``A_k`` a ts-vector that is nonzero
+    only at lo_k and lo_k+1.  A pixel's 8 corners are 8 distinct cells, so
+    each nonzero channel equals the matching ``_corner`` weight bit-exactly
+    (same multiply order); all other cells are exactly 0.
+
+    Feeding these rows through the shared pixel->face segment reduction
+    replaces the ts>=3 backward's 8 separate all-pixel segment_sums
+    (~20 ns/index each on TPU) with the one reduction the K5/K7 channels
+    already pay — the per-(face, cell) sums differ from the 8-pass path
+    only in f32 summation order."""
+    covered = face_index_map >= 0
+    tif = _texture_index_float(settings, face_w, weight_map, depth_map, ts)
+    lo = tif.astype(jnp.int32)          # trunc == floor for tif >= 0
+    frac = tif - lo.astype(jnp.float32)
+
+    def axis_vec(k):
+        lk, fk = lo[..., k], frac[..., k]
+        return [jnp.where(lk == j, 1.0 - fk, 0.0)
+                + jnp.where(lk + 1 == j, fk, 0.0) for j in range(ts)]
+
+    a0, a1, a2 = axis_vec(0), axis_vec(1), axis_vec(2)
+    # materialization points: without them XLA re-derives each of the
+    # ts^3*3 output channels from the tif producer chain, re-reading every
+    # input plane per channel
+    p01 = [jax.lax.optimization_barrier(x0 * x1) for x0 in a0 for x1 in a1]
+    a2 = [jax.lax.optimization_barrier(x) for x in a2]
+    gmask = [jax.lax.optimization_barrier(
+        jnp.where(covered, grad_rgb_map[..., c], 0.0)) for c in range(3)]
+
+    chans = []
+    for i01 in range(ts * ts):
+        for c2 in range(ts):
+            w_cell = p01[i01] * a2[c2]
+            for c in range(3):
+                chans.append(w_cell * gmask[c])
+    return jnp.stack(chans, axis=-1)       # [bs, is, is, ts^3 * 3]
+
+
 def grad_textures(settings, faces, face_index_map, face_w, weight_map,
                   depth_map, grad_rgb_map, texture_shape):
     """Backward texture gradient (K6, rasterize.py:750-792).
@@ -149,6 +210,18 @@ def grad_textures(settings, faces, face_index_map, face_w, weight_map,
     if ts == 2:
         rows = texture_channels_ts2(settings, face_index_map, face_w,
                                     weight_map, depth_map, grad_rgb_map)
+        rows = jax.lax.optimization_barrier(rows)
+        flat = jax.ops.segment_sum(
+            rows.reshape(-1, n_cells * 3), seg_face.reshape(-1),
+            num_segments=bs * nf + 1)[:-1]
+        return flat.reshape(texture_shape)
+
+    if cell_channels_fit(settings, face_index_map.shape[0], ts):
+        # one pixel->face reduction of cell-resolved rows instead of 8
+        # all-pixel segment_sums (scatter cost is per-index on TPU)
+        rows = texture_channels_cells(settings, face_index_map, face_w,
+                                      weight_map, depth_map, grad_rgb_map,
+                                      ts)
         rows = jax.lax.optimization_barrier(rows)
         flat = jax.ops.segment_sum(
             rows.reshape(-1, n_cells * 3), seg_face.reshape(-1),

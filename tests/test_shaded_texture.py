@@ -44,3 +44,44 @@ def test_hat_product_shading_matches_xla_sampling():
         # noise only, no approximation
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5,
                                    err_msg=f'ts={ts}')
+
+
+def test_cell_channel_k6_matches_eight_pass_scatter():
+    """ts=3/4 texture gradients via the fused cell-resolved channels equal
+    the legacy 8-pass per-corner segment_sums (summation order only) —
+    end-to-end through rasterize_core's custom VJP."""
+    from neural_renderer_tpu.rasterize import core as rcore
+
+    is_ = 64
+    fc = _scene()
+    bg = jnp.zeros((3,), jnp.float32)
+    s = RasterizeSettings(image_size=is_, return_rgb=True,
+                          return_alpha=True, return_depth=False,
+                          runtime_checks=False, backend='xla', eps=1e-3)
+
+    for ts in (3, 4):
+        tx = jax.random.uniform(jax.random.PRNGKey(10 + ts),
+                                (2, 40, ts, ts, ts, 3)).astype(jnp.float32)
+
+        def loss(fcc, txx):
+            rgb, a, _ = rcore.rasterize_core(s, fcc, txx, bg)
+            return jnp.sum(rgb * rgb) + jnp.sum(a)
+
+        assert tex.cell_channels_fit(s, 2, ts)
+        g_new = jax.jit(jax.grad(loss, argnums=(0, 1)))(fc, tx)
+
+        orig = tex.cell_channels_fit
+        try:
+            tex.cell_channels_fit = lambda *a: False   # force legacy path
+            g_old = jax.jit(jax.grad(loss, argnums=(0, 1)))(fc, tx)
+        finally:
+            tex.cell_channels_fit = orig
+
+        for a, b, name in [(g_new[0], g_old[0], 'faces'),
+                           (g_new[1], g_old[1], 'textures')]:
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(np.abs(b).max(), 1e-6)
+            np.testing.assert_allclose(
+                a, b, rtol=1e-5, atol=scale * 1e-6,
+                err_msg=f'ts={ts} grad_{name}')
+        assert float(np.abs(np.asarray(g_new[1])).max()) > 0
