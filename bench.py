@@ -224,6 +224,26 @@ def main():
 
     secondary('approx_aa_images_per_sec', run_approx)
 
+    # ---- secondary: ts=4 textures (the reference Mesh default, mesh.py:21;
+    # example3's workload) — exercises the in-kernel hat-product K4 shading
+    # and the cell-resolved K6 channels in the fused backward reduction ----
+    def run_ts4():
+        # cell-resolved K6 rows are 192 channels; stay lean on batch
+        ts4_bs = min(8, BATCH_SIZE)
+        tx4 = jnp.ones((ts4_bs, faces.shape[1], 4, 4, 4, 3), jnp.float32)
+        r4 = nr.Renderer()
+        r4.image_size = IMAGE_SIZE
+
+        def loss_ts4(v, tx, eye):
+            r4.eye = eye
+            return jnp.sum(r4.render(v, faces[:ts4_bs], tx))
+
+        fn = jax.jit(jax.value_and_grad(loss_ts4, argnums=(0, 1)))
+        return _throughput(fn, [(vertices[:ts4_bs], tx4, e) for e in eyes],
+                           batch_size=ts4_bs)
+
+    secondary('ts4_textured_images_per_sec', run_ts4)
+
     # ---- secondary: 163k-face mesh (fill_back-doubled icosphere) on the
     # multi-pass Pallas path — the reference K3 handles arbitrary nf by
     # just looping longer (rasterize.py:300); here face slices stream
