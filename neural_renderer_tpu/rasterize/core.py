@@ -153,6 +153,16 @@ def _forward_maps(settings, faces, textures):
     # (reference mesh.py:21).  Bigger cubes sample via XLA gathers.
     fuse_rgb = settings.return_rgb and textures.shape[2] <= 4
 
+    if settings.grad_csr_rows is not None:
+        # grad_csr_rows is a perf knob, not semantics: when the image is
+        # too narrow for the CSR kernel's lane-aligned channel blocks
+        # (e.g. the 1x grad pass of anti_aliasing='approx' at small
+        # renders) drop it and take the exact global reduction.
+        from neural_renderer_tpu.rasterize import forward_pallas
+        if not forward_pallas.csr_supported(settings):
+            import dataclasses
+            settings = dataclasses.replace(settings, grad_csr_rows=None)
+
     if settings.backend == 'xla':
         return _xla_forward_maps(settings, faces, textures, fuse_rgb)
     if settings.backend in ('pallas', 'auto'):
@@ -193,7 +203,8 @@ def _forward_maps(settings, faces, textures):
                 counts = prefix_counts[1]
                 fits = counts.max() <= capacity
                 auto_csr = (settings.auto_fast
-                            and settings.grad_csr_rows is None)
+                            and settings.grad_csr_rows is None
+                            and forward_pallas.csr_supported(settings))
                 if not auto_csr:
                     return jax.lax.cond(
                         fits,

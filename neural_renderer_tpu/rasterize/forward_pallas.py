@@ -121,6 +121,20 @@ def supported(settings, faces):
     return True
 
 
+def csr_supported(settings):
+    """Whether the CSR grad-reduction artifacts can be emitted/consumed.
+
+    ``backward_pallas._csr_kernel`` slices the fused channel stack in
+    ``[.., 32, xg*32]`` blocks and brings the target patch to lane 0 with a
+    dynamic lane rotation — Mosaic only supports that on 128-lane-multiple
+    vectors, so the image must be wide enough for xg = 4 side-by-side
+    32-px patches (observed at 64^2: 'unsupported unaligned shape'
+    tpu.dynamic_rotate on a 64-lane vector).  Below this the global
+    segment reduction is cheap anyway (<= 16k pixel rows per element)."""
+    is_ = settings.image_size
+    return is_ % 32 == 0 and is_ >= 4 * 32
+
+
 def multipass_fits(settings, faces, s=None):
     """Runtime bool: every face slice's binned patch counts fit the per-
     slice chunk capacity (the multi-pass analogue of the single-pass auto

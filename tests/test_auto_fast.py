@@ -141,3 +141,36 @@ def test_auto_csr_guard_falls_back_exactly():
     g_ref = jax.jit(jax.grad(lambda a: loss(
         a, dict(backend='xla', auto_fast=False))))(fc)
     _assert_close([g_auto], [g_ref], ['faces'])
+
+
+def test_small_image_backward_compiles_and_matches():
+    """Regression: sub-128 renders (un-antialiased 64^2, and the 1x grad
+    pass of anti_aliasing='approx') must not engage the CSR reduction —
+    backward_pallas._csr_kernel's dynamic lane rotation needs full
+    128-lane channel blocks and Mosaic rejects it at 64 lanes
+    ('unsupported unaligned shape' tpu.dynamic_rotate).  The auto path
+    gates on forward_pallas.csr_supported and an explicit grad_csr_rows
+    is dropped (perf knob, not semantics); gradients must still match the
+    dense XLA path."""
+    if not _tpu():
+        return
+    v, f = _teapot(bs=1)
+    fc = nr.vertices_to_faces(
+        nr.perspective(nr.look_at(v, nr.get_points_from_angles(
+            np.float32(2.732), np.float32(30.0), np.float32(45.0)))),
+        jnp.concatenate([f, f[:, :, ::-1]], axis=1))
+    ga_seed = jax.random.normal(jax.random.PRNGKey(2), (1, 64, 64))
+
+    def loss(fc, overrides):
+        sil = nr.rasterize_silhouettes(
+            fc, image_size=64, anti_aliasing=False, runtime_checks=False,
+            **overrides)
+        return jnp.sum(sil * ga_seed)
+
+    g_auto = jax.jit(jax.grad(lambda a: loss(a, {})))(fc)
+    g_csr = jax.jit(jax.grad(lambda a: loss(          # explicit knob
+        a, dict(grad_csr_rows=128 * 64))))(fc)
+    g_ref = jax.jit(jax.grad(lambda a: loss(
+        a, dict(backend='xla', auto_fast=False))))(fc)
+    _assert_close([g_auto, g_csr], [g_ref, g_ref],
+                  ['faces:auto', 'faces:explicit-csr'])
