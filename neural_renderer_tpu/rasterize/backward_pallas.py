@@ -25,6 +25,7 @@ out of bounds, which the crossing validity test already excludes.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -221,6 +222,7 @@ def _kernel(settings, dir_lt, radius, rows, is_,
 
 _KS = 64            # out-sweep record slots per chunk
 _WINT = 2           # fetch-window width in 128-lane tiles (per edge)
+_KCLAMP = 1e14      # |k| cap: keeps dist0 * dist1 finite in the sweep
 
 
 def _lane_prefix(x, is_):
@@ -234,7 +236,7 @@ def _lane_prefix(x, is_):
 
 
 def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
-                     *refs):
+                     pk_ref, *refs):
     """Out-sweep (reference rasterize.py:603-659): discovery, per-row
     record compaction, and the border sweep — one fused pass.
 
@@ -243,8 +245,14 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
     caches per-record attributes in VMEM as one [na, 3*is] matrix per row
     (edges segmented along lanes) so every later chunk fetches its 64
     records with a single one-hot MXU contraction — no per-chunk
-    concatenation or rebuild.  Rows with fewer records skip chunks
-    individually via per-row SMEM counts.
+    concatenation or rebuild.
+
+    All per-row SCALARS (record counts, the fetch-window tile bases, the
+    window-fits flag) arrive packed in the scalar-prefetched ``pk_ref``,
+    computed by an XLA pre-pass (``_outsweep_rowinfo``) — extracting them
+    from vectors inside the kernel cost ~135 ns per vector->scalar move,
+    ~22 ms/step at 512^2 bs32 (the dominant kernel cost, measured by
+    ablation).  Blocks whose 8 rows host no record skip discovery wholly.
 
     The crossing pixel r is covered by construction, so a_in == 1 exactly
     and dg(r, q') = S1(q') - ga(q') - sum_c rgb_in_c(r) * grgb_c(q').
@@ -257,21 +265,29 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
     grgb_refs = refs[9:12] if with_rgb else ()
     rgb_refs = refs[12:15] if with_rgb else ()
     out_ref = refs[nin]
-    cntout_ref = refs[nin + 1]
-    cnt_ref, rank_ref, attr_ref, tlo_ref, wok_ref = refs[nin + 2:nin + 7]
+    rank_ref, attr_ref = refs[nin + 1:nin + 3]
 
     # windowed fetch: a (row, edge)'s active crossings cluster in the
     # object's x-range — when each edge's span fits _WINT lane-tiles, the
     # record fetch contracts 3 x _WINT tiles instead of all 3*is lanes
-    # (the fetch is the kernel's dominant cost, ~12 MXU K-tiles/row)
     # the window clamp and span test assume lane-tile-aligned rows; a
     # non-128-multiple is_ could let a record in the partial last tile pass
     # the span check yet fall outside the clipped window (supported_outsweep
     # already requires is_ % 128 == 0 — this gate is belt-and-suspenders)
     windowed = is_ % _LANE == 0 and is_ >= _WINT * 2 * _LANE
 
+    b = pl.program_id(0)
     c = pl.program_id(2)
     i = pl.program_id(1)
+
+    def pk(r):
+        """Packed per-row scalars (see _outsweep_rowinfo for the layout)."""
+        return pk_ref[(b * (is_ // rows) + i) * rows + r]
+
+    cnts = [pk(r) & 0x3FFF for r in range(rows)]
+    blk_any = cnts[0]
+    for r in range(1, rows):
+        blk_any = blk_any | cnts[r]
 
     d0 = (i * rows
           + jax.lax.broadcasted_iota(jnp.int32, (rows, is_), 0)
@@ -280,6 +296,10 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
     d1 = d1i.astype(jnp.float32)
 
     @pl.when(c == 0)
+    def _zero():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    @pl.when((c == 0) & (blk_any > 0))
     def _discover():
         av = alpha_ref[0]
         covered = av >= 0.5
@@ -287,7 +307,6 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
         ys = [r[0] for r in ys_refs]
 
         counts = []
-        spans = []
         for e in range(3):
             pi = [(e + k) % 3 for k in range(3)]
             X0, X1, X2 = (xs[p] for p in pi)
@@ -322,10 +341,15 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
             attr_ref[:, 1, sl] = jnp.where(act, d1_cross, 0.0)
             attr_ref[:, 2, sl] = jnp.where(act, lo, 0.0)
             attr_ref[:, 3, sl] = jnp.where(act, hi, 0.0)
+            # |k| is clamped so the sweep's dist0 * dist1 product can't
+            # overflow (contributions at |k| >= _KCLAMP are < 1e-14 *
+            # |dg| — far below every tolerance in play)
             attr_ref[:, 4, sl] = jnp.where(
-                (g0 > 0) & jnp.isfinite(k0), k0, 0.0)
+                (g0 > 0) & jnp.isfinite(k0),
+                jnp.clip(k0, -_KCLAMP, _KCLAMP), 0.0)
             attr_ref[:, 5, sl] = jnp.where(
-                (g1 > 0) & jnp.isfinite(k1), k1, 0.0)
+                (g1 > 0) & jnp.isfinite(k1),
+                jnp.clip(k1, -_KCLAMP, _KCLAMP), 0.0)
             attr_ref[:, 6, sl] = g1           # g0 via k0 != 0
             if with_rgb:
                 for cch in range(3):
@@ -335,55 +359,20 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
             count_e = jnp.max(prefix, axis=1, keepdims=True)
             rank = jnp.where(act, prefix - 1, jnp.int32(2 ** 30))
             counts.append((count_e, rank))
-            if windowed:
-                lo_lane = jnp.min(jnp.where(act, d1i, jnp.int32(2 ** 30)),
-                                  axis=1, keepdims=True)
-                hi_lane = jnp.max(jnp.where(act, d1i, -1),
-                                  axis=1, keepdims=True)
-                spans.append((lo_lane, hi_lane))
 
         # record coordinates shared by all rows (lane position / edge id)
         lane3 = jax.lax.broadcasted_iota(jnp.int32, (rows, 3 * is_), 1)
         attr_ref[:, 7, :] = (lane3 % is_).astype(jnp.float32)
         attr_ref[:, 8, :] = (lane3 // is_).astype(jnp.float32)
 
-        # global rank across the 3 edge segments + per-row totals in SMEM
-        off = jnp.zeros_like(counts[0][0])
-        total = jnp.zeros_like(counts[0][0])
+        # global rank across the 3 edge segments (counts stay VECTORS —
+        # the scalar per-row totals come prefetched, never extracted here)
+        off = None
         for e in range(3):
             count_e, rank = counts[e]
-            rank_ref[:, pl.ds(e * is_, is_)] = rank + off
-            off = off + count_e
-            total = total + count_e
-        for r in range(rows):
-            cnt_ref[r] = jnp.max(total[r:r + 1, 0:1])
-        # stat export: the per-row totals themselves — the scene's actual
-        # row-capacity requirement, measured where it is already computed.
-        # The auto fast path compares max(total) against row_cap and falls
-        # back to the dense out-sweep when this speculative run would have
-        # dropped records.
-        cntout_ref[0] = jnp.broadcast_to(total, (rows, _LANE))
-
-        if windowed:
-            # per-(row, edge) fetch-window tile base + a per-row flag that
-            # every edge's span fits; rows that don't fall back to the
-            # full-width fetch (exact either way).  (A second _WINT=1
-            # ladder level measured FLAT on the teapot bench — the fetch
-            # no longer dominates the kernel; NOTES.md round-3.)
-            nt_max = is_ // _LANE - _WINT
-            for r in range(rows):
-                ok = None
-                for e in range(3):
-                    lo_r = jnp.max(spans[e][0][r:r + 1, 0:1])
-                    hi_r = jnp.max(spans[e][1][r:r + 1, 0:1])
-                    tlo = jnp.clip(lo_r // _LANE, 0, nt_max)
-                    tlo_ref[e * rows + r] = jnp.where(hi_r < 0, 0, tlo)
-                    ok_e = ((hi_r < 0)
-                            | (hi_r // _LANE - lo_r // _LANE < _WINT))
-                    ok = ok_e if ok is None else (ok & ok_e)
-                wok_ref[r] = ok.astype(jnp.int32)
-
-        out_ref[0] = jnp.zeros_like(out_ref[0])
+            rank_ref[:, pl.ds(e * is_, is_)] = (rank if off is None
+                                                else rank + off)
+            off = count_e if off is None else off + count_e
 
     qi = jax.lax.broadcasted_iota(jnp.int32, (1, is_), 1)
     qf = qi.astype(jnp.float32)
@@ -394,7 +383,7 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
             def col(j):
                 return rec[:, j:j + 1]                       # [_KS, 1]
 
-            vflag, d1c, lo, hi, k0, k1, g1 = (col(j) for j in range(7))
+            d1c, lo, hi, k0, k1, g1 = (col(j) for j in range(1, 7))
             xr, er = col(7), col(8)
 
             s1_row = s1_ref[0][r:r + 1, :]
@@ -406,17 +395,31 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
                 for cch in range(3):
                     dg = dg - col(9 + cch) * grgb_refs[cch][0][r:r + 1, :]
 
-            in_range = ((qf >= lo) & (qf <= hi) & (vflag > 0)
-                        & (dg > 0))
+            # gated dg: relu applies the reference's diff_grad > 0 gate
+            # (dg == 0 contributes exactly 0 either way), the range select
+            # the sweep interval.  Per-record gates (slot validity, the
+            # X != d0 masks) move to the [_KS, 1] sums below — empty slots
+            # fetch all-zero attrs, so k0 == 0 / g1 == 0 kills them there.
+            rng = (qf >= lo) & (qf <= hi)
+            dgm = jnp.where(rng, jnp.maximum(dg, 0.0), 0.0)
             delta = qf - d1c
 
-            def contrib(kk, gg):
-                dist = kk * delta
-                dist = jnp.where(dist > 0, dist + eps, dist - eps)
-                return jnp.where(in_range & gg, -dg / dist, 0.0)
-
-            c0 = jnp.sum(contrib(k0, k0 != 0), axis=1, keepdims=True)
-            c1 = jnp.sum(contrib(k1, g1 > 0), axis=1, keepdims=True)
+            # the two -dg/dist terms share ONE divide: with
+            # t = dg / (dist0 * dist1), c0 = -t * dist1 and c1 = -t * dist0
+            # (f32 divides are multi-pass on the VPU and these two were
+            # ~half the border-sweep math).  |dist| >= eps always, and the
+            # discovery pass clamps |k| <= _KCLAMP so the product cannot
+            # overflow.  Reassociation error is ~2 ulps — far inside the
+            # reference anchors (rtol 1e-2) and the float64 parity (1e-3).
+            dist0 = k0 * delta
+            dist0 = jnp.where(dist0 > 0, dist0 + eps, dist0 - eps)
+            dist1 = k1 * delta
+            dist1 = jnp.where(dist1 > 0, dist1 + eps, dist1 - eps)
+            t = -dgm / (dist0 * dist1)
+            c0 = jnp.sum(t * dist1, axis=1, keepdims=True)
+            c1 = jnp.sum(t * dist0, axis=1, keepdims=True)
+            c0 = jnp.where(k0 != 0, c0, 0.0)
+            c1 = jnp.where(g1 > 0, c1, 0.0)
 
             # scatter every record's (c0, c1) to its in-pixel lane for its
             # (edge, k) plane — ONE [6 x _KS] x [_KS x is] contraction
@@ -431,14 +434,16 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
             out_ref[0, pl.ds(r * 6, 6), :] = \
                 out_ref[0, pl.ds(r * 6, 6), :] + row_add
 
-        live = c * _KS < cnt_ref[r]
+        live = c * _KS < cnts[r]
         if windowed:
-            @pl.when(live & (wok_ref[r] == 1))
+            wok = (pk(r) >> 14) & 1
+
+            @pl.when(live & (wok == 1))
             def _sweep_win(r=r):
                 rec = None
                 for e in range(3):
-                    sl = pl.ds(e * is_ + tlo_ref[e * rows + r] * _LANE,
-                               _WINT * _LANE)
+                    tlo = (pk(r) >> (15 + 5 * e)) & 31
+                    sl = pl.ds(e * is_ + tlo * _LANE, _WINT * _LANE)
                     ohw = (rank_ref[r:r + 1, sl]
                            == c * _KS + slot_iota).astype(jnp.float32)
                     d = jax.lax.dot_general(
@@ -448,7 +453,7 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
                     rec = d if rec is None else rec + d
                 _sweep_tail(r, rec)
 
-            @pl.when(live & (wok_ref[r] == 0))
+            @pl.when(live & (wok == 0))
             def _sweep_full(r=r):
                 oh = (rank_ref[r:r + 1, :] == c * _KS + slot_iota).astype(
                     jnp.float32)                             # [_KS, 3*is]
@@ -469,6 +474,74 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
                 _sweep_tail(r, rec)
 
 
+def _outsweep_rowinfo(settings, dir_lt, xs, ys, alpha_map):
+    """XLA pre-pass: per-walk-row packed scalars for the out-sweep kernel.
+
+    Rederives the discovery activity mask (same op order as the kernel)
+    and reduces it to the per-row scalars the kernel needs for control
+    flow: record count, the per-edge fetch-window tile base, and the
+    window-fits flag — packed as
+    ``count | wok << 14 | tlo_e << (15 + 5*e)`` in one int32 per row.
+    Extracting these from vectors inside the kernel cost ~135 ns per
+    vector->scalar move (~22 ms/step at 512^2 bs32); here they are three
+    fused reductions over maps XLA is already reading.
+
+    The spans carry a +-1 lane margin: the kernel's Mosaic-compiled
+    d1_cross arithmetic could differ from XLA's by an ulp (FMA
+    contraction), which can move a record one lane — never off its row,
+    so the COUNTS are drift-free (a drifted crossing stays in the same
+    walk row; only extent/on-screen boundary flips could change a count,
+    at exact-ulp geometry).
+
+    Returns (packed [bs * is] int32, row_worst scalar int32).
+    """
+    is_ = settings.image_size
+    covered = alpha_map >= 0.5
+    bs = alpha_map.shape[0]
+    d0 = jnp.broadcast_to(
+        jnp.arange(is_, dtype=jnp.float32)[None, :, None], (bs, is_, is_))
+    lane = jnp.broadcast_to(
+        jnp.arange(is_, dtype=jnp.int32)[None, None, :], (bs, is_, is_))
+    d1 = lane.astype(jnp.float32)
+
+    nt_max = max(is_ // _LANE - _WINT, 0)
+    big = jnp.int32(2 ** 30)
+    cnt = jnp.zeros((bs, is_), jnp.int32)
+    wok = None
+    tlos = []
+    for e in range(3):
+        pi = [(e + k) % 3 for k in range(3)]
+        X0, X1 = xs[pi[0]], xs[pi[1]]
+        Y0, Y1 = ys[pi[0]], ys[pi[1]]
+        direction = jnp.where(X0 < X1, jnp.float32(dir_lt),
+                              jnp.float32(-dir_lt))
+        d0_from = jnp.maximum(jnp.ceil(jnp.minimum(X0, X1)), 0.0)
+        d0_to = jnp.trunc(jnp.minimum(jnp.maximum(X0, X1), is_ - 1.0))
+        in_extent = (d0 >= d0_from) & (d0 <= d0_to)
+        d1_cross = (Y1 - Y0) / (X1 - X0) * (d0 - X0) + Y0
+        d1_in = jnp.where(direction > 0, jnp.floor(d1_cross),
+                          jnp.ceil(d1_cross))
+        d1_out = d1_in + direction
+        valid = (in_extent
+                 & (d1_in >= 0) & (d1_in <= is_ - 1)
+                 & (d1_out >= 0) & (d1_out <= is_ - 1))
+        act = covered & valid & (d1_in == d1)
+
+        cnt = cnt + jnp.sum(act, axis=-1, dtype=jnp.int32)
+        lo = jnp.min(jnp.where(act, lane, big), axis=-1) - 1   # ulp margin
+        hi = jnp.max(jnp.where(act, lane, -big), axis=-1) + 1
+        empty = hi < 0
+        tlos.append(jnp.clip(jnp.where(empty, 0, lo // _LANE), 0, nt_max))
+        ok_e = empty | (hi // _LANE - jnp.maximum(lo, 0) // _LANE < _WINT)
+        wok = ok_e if wok is None else (wok & ok_e)
+
+    packed = (jnp.minimum(cnt, 0x3FFF)
+              | (wok.astype(jnp.int32) << 14))
+    for e in range(3):
+        packed = packed | (tlos[e] << (15 + 5 * e))
+    return packed.reshape(-1), jnp.max(cnt)
+
+
 def outsweep_channels(settings, a, ppx, ppy, alpha_map, s1_map,
                       grad_alpha_map, grad_rgb_map=None, rgb_map=None,
                       row_cap=256, interpret=False):
@@ -477,13 +550,13 @@ def outsweep_channels(settings, a, ppx, ppy, alpha_map, s1_map,
 
     Returns ([6 maps [bs, is, is]: (c0, c1) per edge], row_worst) where
     row_worst is the max active crossing count in any single row — the
-    kernel's own measurement of the scene's row-capacity requirement.
-    Exact iff row_worst <= row_cap — validate with
+    scene's actual row-capacity requirement, measured by the rowinfo
+    pre-pass.  Exact iff row_worst <= row_cap — validate with
     ``backward.count_out_crossings(..., per_row=True)`` or compare the
     returned stat (the auto fast path conds on it)."""
     is_ = settings.image_size
     bs = alpha_map.shape[0]
-    rows = 8
+    rows = int(os.environ.get('NR_OS_ROWS', '8'))
     with_rgb = settings.return_rgb
     kc = -(-row_cap // _KS)
 
@@ -499,43 +572,45 @@ def outsweep_channels(settings, a, ppx, ppy, alpha_map, s1_map,
         ys = [ppx[..., k] for k in range(3)]
         dir_lt = 1.0
 
-    inputs = xs + ys + [tr(alpha_map), tr(s1_map), tr(grad_alpha_map)]
+    alpha_w = tr(alpha_map)
+    packed, row_worst = _outsweep_rowinfo(settings, dir_lt, xs, ys, alpha_w)
+
+    inputs = xs + ys + [alpha_w, tr(s1_map), tr(grad_alpha_map)]
     if with_rgb:
         inputs += [tr(grad_rgb_map[..., c]) for c in range(3)]
         inputs += [tr(rgb_map[..., c]) for c in range(3)]
 
     kernel = functools.partial(_outsweep_kernel, settings, dir_lt, rows,
                                is_, with_rgb, kc)
-    spec = pl.BlockSpec((1, rows, is_), lambda b, i, c: (b, i, 0))
-    out_spec = pl.BlockSpec((1, 6 * rows, is_), lambda b, i, c: (b, i, 0))
-    cnt_spec = pl.BlockSpec((1, rows, _LANE), lambda b, i, c: (b, i, 0))
+    spec = pl.BlockSpec((1, rows, is_), lambda b, i, c, pk: (b, i, 0))
+    out_spec = pl.BlockSpec((1, 6 * rows, is_), lambda b, i, c, pk: (b, i, 0))
     from jax.experimental.pallas import tpu as pltpu
-    out, cnt = pl.pallas_call(
-        kernel,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(bs, is_ // rows, kc),
         in_specs=[spec] * len(inputs),
-        out_specs=[out_spec, cnt_spec],
-        out_shape=[_out_struct((bs, 6 * rows * (is_ // rows), is_),
-                               jnp.float32, alpha_map),
-                   _out_struct((bs, is_, _LANE), jnp.int32, alpha_map)],
+        out_specs=[out_spec],
         scratch_shapes=[
-            pltpu.SMEM((rows,), jnp.int32),
             pltpu.VMEM((rows, 3 * is_), jnp.int32),
             pltpu.VMEM((rows, 9 + (3 if with_rgb else 0), 3 * is_),
                        jnp.float32),
-            pltpu.SMEM((3 * rows,), jnp.int32),   # fetch-window tile base
-            pltpu.SMEM((rows,), jnp.int32),       # window-fits flag
         ],
+    )
+    out, = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[_out_struct((bs, 6 * rows * (is_ // rows), is_),
+                               jnp.float32, alpha_map)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(*inputs)
+    )(packed, *inputs)
     # out rows: block i holds [rows, 6] planes at sublanes [i*6*rows ...]
     out = out.reshape(bs, is_ // rows, rows, 6, is_)
     out = out.transpose(3, 0, 1, 2, 4).reshape(6, bs, is_, is_)
     # (channels in the walk frame get transposed back for a=0; the stat is
     # a global max, frame-independent)
-    return [tr(out[j]) for j in range(6)], jnp.max(cnt)
+    return [tr(out[j]) for j in range(6)], row_worst
 
 
 def insweep_channels(settings, a, ppx, ppy, alpha_map, grad_alpha_map,

@@ -108,6 +108,59 @@ def test_insweep_kernel_matches_xla():
                     err_msg=f'(e={e}, a={a}, c{k})')
 
 
+def test_outsweep_kernel_interpret():
+    """Out-sweep kernel vs the dense XLA sweep, channel by channel, in
+    interpret mode — the only out-sweep coverage that runs on CPU (the
+    grad-level tests below are TPU-gated).  512 activates the windowed
+    record fetch; rows whose spans overflow the window exercise the
+    full-width fallback in the same scene."""
+    is_ = 512
+    fc = _scene(is_, bs=1)
+    s = RasterizeSettings(image_size=is_, return_rgb=False,
+                          return_alpha=True, return_depth=False,
+                          runtime_checks=False)
+    fim, _ = jax.jit(
+        lambda f: forward_xla.forward_face_index_map(s, f))(fc)
+    face_w = jax.jit(forward_xla.gather_face_rows)(fc, fim)
+    covered = fim >= 0
+    ppx = geometry.to_pixel_coords(face_w[..., 0], is_)
+    ppy = geometry.to_pixel_coords(face_w[..., 1], is_)
+    alpha = covered.astype(jnp.float32)
+    ga = jax.random.normal(jax.random.PRNGKey(5), alpha.shape)
+    s1 = alpha * ga
+    rgb0 = jnp.zeros(alpha.shape + (3,))
+    interpret = jax.default_backend() != 'tpu'
+
+    yi = jnp.broadcast_to(jnp.arange(is_, dtype=jnp.float32)[None, :, None],
+                          alpha.shape)
+    xi = jnp.broadcast_to(jnp.arange(is_, dtype=jnp.float32)[None, None, :],
+                          alpha.shape)
+    for a in (0, 1):
+        six, rw = jax.jit(lambda ppx, ppy, al, s1m, g, a=a:
+                          backward_pallas.outsweep_channels(
+                              s, a, ppx, ppy, al, s1m, g, row_cap=256,
+                              interpret=interpret))(ppx, ppy, alpha, s1, ga)
+        assert int(rw) > 0
+        assert int(rw) <= 256          # scene must fit for exactness here
+        for e in range(3):
+            X, Y = backward._edge_coords(ppx, ppy, e, a)
+            d0 = xi if a == 0 else yi
+            d1 = yi if a == 0 else xi
+            cr = backward._crossing(s, X, Y, a, d0)
+            act_out = covered & cr['valid'] & (cr['d1_in'] == d1)
+            o0, o1 = jax.jit(
+                lambda act, cr, X, d0, al, g, a=a: backward._out_sweep(
+                    s, a, act, cr, X, d0, al, rgb0, rgb0, g))(
+                act_out, cr, X, d0, alpha, ga)
+            scale = float(np.abs(np.asarray(o0)).max()) + 1e-9
+            np.testing.assert_allclose(
+                np.asarray(six[2 * e]), np.asarray(o0), rtol=1e-4,
+                atol=scale * 1e-5, err_msg=f'(e={e}, a={a}, c0)')
+            np.testing.assert_allclose(
+                np.asarray(six[2 * e + 1]), np.asarray(o1), rtol=1e-4,
+                atol=scale * 1e-5, err_msg=f'(e={e}, a={a}, c1)')
+
+
 def test_outsweep_kernel_matches_compact():
     """Out-sweep kernel (discovery + per-row compaction + sweep) vs the
     XLA compacted path, full gradient comparison on the teapot."""
