@@ -55,3 +55,30 @@ def maybe_callback(fn, *args):
     """jax.debug.callback(fn, *args) where the platform supports it."""
     if callbacks_enabled():
         jax.debug.callback(fn, *args)
+
+
+_warned_knob_sets = set()
+
+
+def warn_unvalidated_capacity(knob_names):
+    """One-time loud warning: explicit capacity knobs on a backend that
+    cannot deliver the runtime overflow warnings.
+
+    On such platforms (e.g. the axon TPU plugin) an over-tight
+    ``faces_per_tile_cap`` / ``grad_out_cap`` / ``grad_offset_radius`` /
+    ``grad_csr_rows`` silently drops gradient work — exactly the failure
+    mode ``runtime_checks`` exists to surface.  Emitted once per knob set
+    at settings-validation time so the user knows to validate explicitly.
+    """
+    key = tuple(sorted(knob_names))
+    if key in _warned_knob_sets:
+        return
+    _warned_knob_sets.add(key)
+    warnings.warn(
+        f'explicit rasterizer capacity knobs {sorted(knob_names)} are set, '
+        'but this JAX backend cannot deliver runtime overflow warnings '
+        '(host callbacks unsupported) — an over-tight capacity silently '
+        'drops gradient work.  Derive knobs with nr.tune (which measures '
+        'and validates them) or check the scene explicitly with '
+        'forward_pallas.binning_overflow / forward_pallas.csr_rows_needed / '
+        'backward.count_out_crossings / backward.max_out_offset.')

@@ -91,6 +91,14 @@ class RasterizeSettings:
     # rarely fit, so the span bookkeeping is pure overhead on the default
     # path.  Set True when rendering a spatially-sorted mesh.
     windowed_fetch: bool = False
+    # Pallas forward: static size of the compact (patch, chunk) schedule
+    # the shaded kernel iterates (one entry per patch plus one per binned
+    # 128-face chunk).  None = automatic: provably-sufficient dense size,
+    # except under the auto path's structural guard where a lean budget is
+    # used (overflow falls back to the exact XLA path).  Setting it opts
+    # into a capacity contract like faces_per_tile_cap — exact iff
+    # `forward_pallas.chunks_needed(settings, faces)` fits.
+    forward_chunk_budget: Optional[int] = None
     # Face-axis model parallelism: the name of a jax.sharding mesh axis the
     # FACE dimension is sharded over (call rasterize inside shard_map with
     # faces/textures split on axis 1).  Each device rasterizes its slice;
@@ -129,6 +137,17 @@ class RasterizeSettings:
                              '(reference rasterize.py:25-27 raises too)')
         if self.backend not in ('xla', 'pallas', 'auto'):
             raise ValueError(f'unknown backend {self.backend!r}')
+        explicit = [name for name in ('faces_per_tile_cap', 'grad_out_cap',
+                                      'grad_offset_radius', 'grad_csr_rows',
+                                      'forward_chunk_budget')
+                    if getattr(self, name) is not None]
+        if explicit and self.runtime_checks:
+            # runtime_checks is on, but if the platform cannot deliver host
+            # callbacks the overflow warnings those knobs rely on can never
+            # fire — say so loudly, once, instead of silently dropping work
+            from neural_renderer_tpu.rasterize import checks
+            if not checks.callbacks_enabled():
+                checks.warn_unvalidated_capacity(explicit)
         return self
 
 

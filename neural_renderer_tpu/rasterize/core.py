@@ -42,7 +42,7 @@ def _xla_forward_maps(settings, faces, textures, fuse_rgb):
 
 def _pallas_forward_maps(settings, faces, textures, fuse_rgb,
                          prefix_counts=None, allow_csr=True,
-                         want_zraw=False):
+                         want_zraw=False, guarded_budget=False):
     import dataclasses
 
     from neural_renderer_tpu.rasterize import forward_pallas
@@ -54,7 +54,7 @@ def _pallas_forward_maps(settings, faces, textures, fuse_rgb,
         settings = dataclasses.replace(settings, grad_csr_rows=None)
     out = forward_pallas.forward_shaded(
         settings, faces, textures if fuse_rgb else None,
-        prefix_counts=prefix_counts)
+        prefix_counts=prefix_counts, guarded_budget=guarded_budget)
     xy = out['xy']
     z = out['z']
     face_w = jnp.stack(
@@ -74,7 +74,8 @@ def _pallas_forward_maps(settings, faces, textures, fuse_rgb,
     return maps
 
 
-def _pallas_multipass_maps(settings, faces, textures, fuse_rgb):
+def _pallas_multipass_maps(settings, faces, textures, fuse_rgb,
+                           guarded_budget=False):
     """Pallas forward for meshes beyond the per-pass VMEM face budget: one
     pass per contiguous face slice, merged on the kernel's raw min-z state
     (strict < keeps the earlier slice's winner on ties — the reference's
@@ -101,7 +102,7 @@ def _pallas_multipass_maps(settings, faces, textures, fuse_rgb):
         m = _pallas_forward_maps(
             settings, faces[:, lo:lo + s],
             textures[:, lo:lo + s] if fuse_rgb else textures,
-            fuse_rgb, want_zraw=True)
+            fuse_rgb, want_zraw=True, guarded_budget=guarded_budget)
         m['face_index_map'] = jnp.where(
             m['face_index_map'] >= 0, m['face_index_map'] + lo, -1)
         if merged is None:
@@ -153,16 +154,6 @@ def _forward_maps(settings, faces, textures):
     # (reference mesh.py:21).  Bigger cubes sample via XLA gathers.
     fuse_rgb = settings.return_rgb and textures.shape[2] <= 4
 
-    if settings.grad_csr_rows is not None:
-        # grad_csr_rows is a perf knob, not semantics: when the image is
-        # too narrow for the CSR kernel's lane-aligned channel blocks
-        # (e.g. the 1x grad pass of anti_aliasing='approx' at small
-        # renders) drop it and take the exact global reduction.
-        from neural_renderer_tpu.rasterize import forward_pallas
-        if not forward_pallas.csr_supported(settings):
-            import dataclasses
-            settings = dataclasses.replace(settings, grad_csr_rows=None)
-
     if settings.backend == 'xla':
         return _xla_forward_maps(settings, faces, textures, fuse_rgb)
     if settings.backend in ('pallas', 'auto'):
@@ -171,23 +162,48 @@ def _forward_maps(settings, faces, textures):
             ok = forward_pallas.supported(settings, faces)
         except ImportError:
             ok = False
+        if ok and settings.grad_csr_rows is not None:
+            # grad_csr_rows is a perf knob, not semantics: when the image
+            # is too narrow for the CSR kernel's lane-aligned channel
+            # blocks (e.g. the 1x grad pass of anti_aliasing='approx' at
+            # small renders) drop it and take the exact global reduction.
+            # (Checked only where Pallas is importable and selected — the
+            # XLA backend and Pallas-less environments never consume CSR
+            # artifacts, so the knob is simply unused there.)
+            if not forward_pallas.csr_supported(settings):
+                import dataclasses
+                settings = dataclasses.replace(settings, grad_csr_rows=None)
         if ok:
             nfeat = forward_pallas._NFEAT + (
                 textures.shape[2] ** 3 * 3 if fuse_rgb else 0)
             if faces.shape[1] > forward_pallas.slice_size(nfeat):
                 # large mesh: multi-pass z-merged forward.  Under 'auto'
                 # the per-slice binning capacities get the same runtime
-                # guard as single-pass — overflow falls back to the
-                # capacity-free oracle.
+                # guard as single-pass, but overflow first ESCALATES to a
+                # 4x-capacity multi-pass before falling back to the
+                # O(pixels x faces) XLA oracle — dense scenes (the 163k
+                # bench sphere overflows the lean auto cap by ~4%) stay
+                # ~100x off the oracle's cost (VERDICT r3 item 2).
                 if settings.backend == 'auto':
-                    fits = forward_pallas.multipass_fits(
-                        settings, faces, forward_pallas.slice_size(nfeat))
+                    import dataclasses
+                    s_sz = forward_pallas.slice_size(nfeat)
+                    cap_hi = 4 * forward_pallas.chunk_capacity(settings, s_sz)
+                    s_esc = dataclasses.replace(
+                        settings, faces_per_tile_cap=cap_hi)
+                    fits_d, fits_hi = forward_pallas.multipass_fits(
+                        settings, faces, s_sz, caps=[cap_hi])
                     return jax.lax.cond(
-                        fits,
+                        fits_d,
                         lambda f, t: _pallas_multipass_maps(
-                            settings, f, t, fuse_rgb),
-                        lambda f, t: _xla_forward_maps(
-                            settings, f, t, fuse_rgb),
+                            settings, f, t, fuse_rgb, guarded_budget=True),
+                        lambda f, t: jax.lax.cond(
+                            fits_hi,
+                            lambda f2, t2: _pallas_multipass_maps(
+                                s_esc, f2, t2, fuse_rgb,
+                                guarded_budget=True),
+                            lambda f2, t2: _xla_forward_maps(
+                                settings, f2, t2, fuse_rgb),
+                            f, t),
                         faces, textures)
                 return _pallas_multipass_maps(settings, faces, textures,
                                               fuse_rgb)
@@ -201,7 +217,10 @@ def _forward_maps(settings, faces, textures):
                 capacity = forward_pallas.chunk_capacity(
                     settings, faces.shape[1])
                 counts = prefix_counts[1]
-                fits = counts.max() <= capacity
+                fits = ((counts.max() <= capacity)
+                        & forward_pallas.schedule_fits(
+                            settings, counts, capacity, faces.shape[0],
+                            faces.shape[1]))
                 auto_csr = (settings.auto_fast
                             and settings.grad_csr_rows is None
                             and forward_pallas.csr_supported(settings))
@@ -210,7 +229,7 @@ def _forward_maps(settings, faces, textures):
                         fits,
                         lambda f, t, pc: _pallas_forward_maps(
                             settings, f, t, fuse_rgb, prefix_counts=pc,
-                            allow_csr=False),
+                            allow_csr=False, guarded_budget=True),
                         lambda f, t, pc: _xla_forward_maps(
                             settings, f, t, fuse_rgb),
                         faces, textures, prefix_counts)
@@ -227,7 +246,7 @@ def _forward_maps(settings, faces, textures):
                     fits,
                     lambda f, t, pc: _pallas_forward_maps(
                         s_csr, f, t, fuse_rgb, prefix_counts=pc,
-                        allow_csr=True),
+                        allow_csr=True, guarded_budget=True),
                     lambda f, t, pc: dict(
                         _xla_forward_maps(settings, f, t, fuse_rgb),
                         **_sentinel_csr(s_csr, f, pc[1], capacity)),
