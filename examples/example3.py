@@ -81,14 +81,18 @@ def run():
         return jax.tree.map(lambda p, u: p + u, m, updates), opt_state, loss
 
     loop = tqdm.tqdm(range(args.num_steps))
-    for _ in loop:
+    for i in loop:
         azimuth = np.random.uniform(0, 360)
         eye = jnp.asarray(nr.get_points_from_angles(
             np.float32(2.732), np.float32(0), np.float32(azimuth)))
         mesh, opt_state, loss = step(mesh, opt_state, eye)
-        # the reference prints a bare 'Optimizing' here; surfacing the loss
-        # costs nothing (async readback of a scalar) and records convergence
-        loop.set_description('Optimizing (loss %.4f)' % float(loss))
+        # the reference prints a bare 'Optimizing' here; showing the loss
+        # records convergence — but reading it EVERY step would add the
+        # host<->device link's fixed round trip (~25-40 ms on a tunneled
+        # TPU, ~3x the device step) to each iteration.  Steps dispatch
+        # asynchronously; the loss is read back every 10th step.
+        if (i + 1) % 10 == 0 or i + 1 == args.num_steps:
+            loop.set_description('Optimizing (loss %.4f)' % float(loss))
 
     @jax.jit
     def render_rgb(m, eye):

@@ -205,6 +205,55 @@ print('WARNED-OK')
     assert 'WARNED-OK' in out.stdout, (out.stdout, out.stderr)
 
 
+def test_forward_case2_aa_textured_golden(teapot_batch):
+    """Default-anti-aliasing textured render at the reference's off-axis
+    viewpoint eye=[1,1,-2.7] (reference tests/test_rasterize.py:34-50,
+    'test_forward_case2') vs a stored fingerprint — pins the 2x
+    supersample + mean-pool + vertical flip + lighting composition
+    end-to-end.  Regenerate with misc/make_aa_fingerprint.py after
+    INTENDED numeric changes."""
+    path = os.path.join(os.path.dirname(__file__), 'data',
+                        'teapot_aa_rgb_fingerprint.npz')
+    if not os.path.exists(path):
+        pytest.skip('fingerprint not generated yet')
+    ref = np.load(path)
+    vertices, faces, textures = teapot_batch
+    renderer = nr.Renderer()
+    renderer.eye = [1.0, 1.0, -2.7]
+    images = np.asarray(jax.jit(renderer.render)(vertices, faces, textures))
+    np.testing.assert_allclose(images[2], ref['image'], atol=1e-5, rtol=0)
+
+
+def test_explicit_caps_warn_on_callbackless_backend(monkeypatch):
+    """Explicit capacity knobs on a backend without host callbacks must
+    produce a loud one-time warning at settings-validation time (VERDICT
+    r3: on such platforms the runtime overflow warnings can never fire, so
+    users with over-tight knobs silently lose gradient work)."""
+    import warnings
+
+    from neural_renderer_tpu.rasterize import checks
+    from neural_renderer_tpu.rasterize.config import RasterizeSettings
+
+    monkeypatch.setattr(checks, 'callbacks_enabled', lambda: False)
+    monkeypatch.setattr(checks, '_warned_knob_sets', set())
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter('always')
+        RasterizeSettings(grad_out_cap=4096, grad_offset_radius=40).validate()
+        msgs = [str(x.message) for x in w]
+    assert any('grad_out_cap' in m and 'nr.tune' in m for m in msgs), msgs
+    # ... and only once per knob set
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter('always')
+        RasterizeSettings(grad_out_cap=4096, grad_offset_radius=40).validate()
+    assert not w
+    # no knobs -> no warning even without callbacks
+    monkeypatch.setattr(checks, '_warned_knob_sets', set())
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter('always')
+        RasterizeSettings().validate()
+    assert not w
+
+
 def test_backward_case2():
     """Backward if the non-zero gradient pixel is ON the face
     (reference test_rasterize.py:113-149, pins the 'in' sweep)."""
