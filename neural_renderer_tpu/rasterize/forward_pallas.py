@@ -380,7 +380,10 @@ def _tile_kernel(settings, p, rows, nf_pad, counts_ref, featT_ref,
         w1 = jnp.clip(row(12) * xi + row(13) * yi + row(14), 0.0, 1.0)
         w2 = jnp.clip(row(15) * xi + row(16) * yi + row(17), 0.0, 1.0)
         wsum = w0 + w1 + w2
-        zp = wsum / (w0 / z0 + w1 / z1 + w2 / z2)
+        # w_k * (1/z_k): the reciprocals are per FACE ([1, 1, 128]), so
+        # the [rows, pixels, faces] z test pays ONE per-element divide
+        # instead of four (lockstep with the forward_xla oracle)
+        zp = wsum / (w0 * (1.0 / z0) + w1 * (1.0 / z1) + w2 * (1.0 / z2))
 
         valid = (jnp.logical_not(outside)
                  & (zp > settings.near) & (zp < settings.far)
@@ -764,7 +767,10 @@ def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb, ts,
         w1 = jnp.clip(row(12) * xi + row(13) * yi + row(14), 0.0, 1.0)
         w2 = jnp.clip(row(15) * xi + row(16) * yi + row(17), 0.0, 1.0)
         wsum = w0 + w1 + w2
-        zp = wsum / (w0 / z0 + w1 / z1 + w2 / z2)
+        # w_k * (1/z_k): the reciprocals are per FACE ([1, 1, 128]), so
+        # the [rows, pixels, faces] z test pays ONE per-element divide
+        # instead of four (lockstep with the forward_xla oracle)
+        zp = wsum / (w0 * (1.0 / z0) + w1 * (1.0 / z1) + w2 * (1.0 / z2))
 
         valid = (jnp.logical_not(outside)
                  & (zp > settings.near) & (zp < settings.far)

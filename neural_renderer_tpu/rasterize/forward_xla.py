@@ -74,9 +74,14 @@ def _chunk_body(settings, xg, yg, xi, yi, carry, chunk):
     w2 = jnp.clip(wk(2), 0.0, 1.0)
     wsum = w0 + w1 + w2
     # zp = 1 / sum(w_k / z_k) with renormalized weights (rasterize.py:327-330)
-    zp = wsum / (w0 / z[:, None, None, :, 0]
-                 + w1 / z[:, None, None, :, 1]
-                 + w2 / z[:, None, None, :, 2])
+    # evaluated as w_k * (1/z_k): the reciprocals are PER FACE, so the
+    # [pixels x faces] grid pays one divide instead of four (f32 divides
+    # are multi-pass on the VPU).  Kept in lockstep with the Pallas
+    # kernels' z test — the bit-exact pallas-vs-oracle contract holds.
+    iz = 1.0 / z
+    zp = wsum / (w0 * iz[:, None, None, :, 0]
+                 + w1 * iz[:, None, None, :, 1]
+                 + w2 * iz[:, None, None, :, 2])
 
     valid = (front[:, None, None, :]
              & jnp.logical_not(outside)
