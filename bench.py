@@ -189,32 +189,6 @@ def main():
 
     secondary('tuned_images_per_sec', run_tuned)
 
-    # ---- secondary: Morton-ordered faces (Mesh(spatial_order=True)) —
-    # activates the forward kernel's windowed feature fetch ------------
-    def run_spatial():
-        v0, f0 = nr.load_obj(path)
-        sf, stx, _ = nr.spatial_sort(
-            v0, f0, np.ones((f0.shape[0], texture_size, texture_size,
-                             texture_size, 3), np.float32))
-        sfaces = jnp.asarray(np.tile(np.asarray(sf)[None],
-                                     (BATCH_SIZE, 1, 1)))
-        stex = jnp.asarray(np.tile(np.asarray(stx)[None],
-                                   (BATCH_SIZE, 1, 1, 1, 1, 1)))
-        spat = nr.Renderer()
-        spat.image_size = IMAGE_SIZE
-        spat.perf_overrides = dict(runtime_checks=False,
-                                   windowed_fetch=True)
-        nr.tune(spat, vertices, sfaces, eyes=eyes, margin=1.0)
-
-        def loss_spat(v, tx, eye):
-            spat.eye = eye
-            return jnp.sum(spat.render(v, sfaces, tx))
-
-        fn = jax.jit(jax.value_and_grad(loss_spat, argnums=(0, 1)))
-        return _throughput(fn, [(vertices, stex, e) for e in eyes])
-
-    secondary('tuned_spatial_images_per_sec', run_spatial)
-
     # ---- secondary: approximate-gradient AA (identical rendered values,
     # gradients from a 1x render — backward at a quarter of the pixels) --
     def run_approx():

@@ -21,7 +21,7 @@ echo "== 2/5 bench (headline + secondaries) =="
 timeout 3600 python bench.py 2> "$OUT/bench.err" | tee "$OUT/bench.json"
 
 echo "== 3/5 windowed-fetch A/B (default-flip decision) =="
-timeout 1800 python misc/ab_windowed_fetch.py 2>&1 | tee "$OUT/ab_windowed.txt"
+# (ab_windowed_fetch.py removed in r4 with the windowed feature fetch)
 
 echo "== 3b/5 default-vs-tuned knob A/B (runtime_checks cost) =="
 timeout 1800 python misc/ab_knobs.py 2>&1 | tee "$OUT/ab_knobs.txt"

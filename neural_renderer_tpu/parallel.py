@@ -148,8 +148,7 @@ def make_face_sharded_render(renderer, mesh, mode='rgb',
     import copy
 
     r = copy.copy(renderer)
-    r.perf_overrides = dict(renderer.perf_overrides, face_axis=axis_name,
-                            mirror_split=None)
+    r.perf_overrides = dict(renderer.perf_overrides, face_axis=axis_name)
 
     b = batch_axis
     v_spec = P(b)                      # vertices [bs, nv, 3]

@@ -556,7 +556,10 @@ def outsweep_channels(settings, a, ppx, ppy, alpha_map, s1_map,
     returned stat (the auto fast path conds on it)."""
     is_ = settings.image_size
     bs = alpha_map.shape[0]
-    rows = int(os.environ.get('NR_OS_ROWS', '8'))
+    # 16-row blocks halve the per-block DMA/discovery count (measured
+    # ~1.4 ms at 512^2 bs32; 32 rows spills Mosaic's VMEM stack — NOTES)
+    rows = int(os.environ.get('NR_OS_ROWS',
+                              '16' if is_ % 16 == 0 else '8'))
     with_rgb = settings.return_rgb
     kc = -(-row_cap // _KS)
 
@@ -682,11 +685,17 @@ def insweep_channels(settings, a, ppx, ppy, alpha_map, grad_alpha_map,
 # rows (~5k per batch element on the teapot vs 262k pixels).
 
 
-def _csr_kernel(rows, p, nc, kmax, t, xg, pchk_ref, kofs_ref, chan_ref,
-                pos_ref, out_ref):
+def _csr_kernel(rows, p, nc, kmax, t, xg, expand, pchk_ref, kofs_ref,
+                chan_ref, pos_ref, out_ref):
     from jax.experimental.pallas import tpu as pltpu
     c = pl.program_id(0)
     kofs = kofs_ref[c]
+    if expand is None:
+        nc_out = nc
+    else:
+        n01, na2 = expand
+        nc_base = nc - n01 - na2 - 3
+        nc_out = nc_base + n01 * na2 * 3
 
     @pl.when(kofs < kmax)
     def _compute():
@@ -715,13 +724,33 @@ def _csr_kernel(rows, p, nc, kmax, t, xg, pchk_ref, kofs_ref, chan_ref,
         chan = strip[:, :, :p].reshape(nc, groups, rows, p)
         cgt = [jnp.transpose(chan[:, g], (1, 0, 2)) for g in range(groups)]
         slot = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
-        acc = jnp.zeros((_LANE, nc), jnp.float32)
+        acc = jnp.zeros((_LANE, nc_out), jnp.float32)
         for r in range(rows):
             oh = (slot == (pos[r:r + 1, :] - kofs * _LANE)).astype(
                 jnp.float32)                             # [slots, 128]
             for g in range(groups):
+                cg = cgt[g][r]                           # [nc, p]
+                if expand is not None:
+                    # K6 cell expansion ON the 32-pixel block: the fused
+                    # stack carries the ts^2 + ts + 3 FACTOR channels
+                    # (texture.texture_cell_factors) and the ts^3*3
+                    # cell-resolved rows are reconstructed here in VMEM —
+                    # (p01 * a2) * g, the cells path's exact multiply
+                    # order — instead of riding HBM as ts^3*3 full-image
+                    # planes.  Output columns are (c2, ch)-major with i01
+                    # inner; the caller unpermutes after the segment_sum.
+                    base = cg[:nc_base]
+                    u = cg[nc_base:nc_base + n01]            # p01 [n01, p]
+                    av = cg[nc_base + n01:nc_base + n01 + na2]
+                    gm = cg[nc_base + n01 + na2:]
+                    pieces = [base]
+                    for j in range(na2):
+                        tj = u * av[j:j + 1]
+                        for ch in range(3):
+                            pieces.append(tj * gm[ch:ch + 1])
+                    cg = jnp.concatenate(pieces, axis=0)     # [nc_out, p]
                 acc = acc + jax.lax.dot_general(
-                    oh[:, g * p:(g + 1) * p], cgt[g][r],
+                    oh[:, g * p:(g + 1) * p], cg,
                     (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST)  # [slots, C]
@@ -729,7 +758,7 @@ def _csr_kernel(rows, p, nc, kmax, t, xg, pchk_ref, kofs_ref, chan_ref,
 
 
 def csr_partial_channels(settings, channels, pos_packed, counts, base,
-                         cap, interpret=False):
+                         cap, interpret=False, expand=None):
     """Per-patch partial face sums of fused per-pixel channels.
 
     channels ``[bs, C, is, is]`` (channel-LEADING — physically the same
@@ -737,10 +766,16 @@ def csr_partial_channels(settings, channels, pos_packed, counts, base,
     produces, so the caller's transpose is a free bitcast);
     pos_packed ``[bs, t, t, rows, 128]`` and
     counts/base from the shaded forward (``grad_csr_rows`` set).  Returns
-    partials ``[grad_csr_rows, C]`` whose row ``128*base[pt] + pos`` holds
-    the channel sums over patch pt's pixels with winner position pos; rows
-    of the unvisited tail are garbage — the caller's ``csr_gseg`` routes
-    them to the overflow bucket.
+    partials ``[grad_csr_rows, C_out]`` whose row ``128*base[pt] + pos``
+    holds the channel sums over patch pt's pixels with winner position
+    pos; rows of the unvisited tail are garbage — the caller's
+    ``csr_gseg`` routes them to the overflow bucket.
+
+    expand: optional ``(ts^2, ts)`` — the LAST ts^2+ts+3 input channels
+    are K6 cell factors (``texture.texture_cell_factors``), expanded to
+    ts^3*3 cell-resolved output columns inside the kernel ((c2, ch)-major
+    blocks of i01 — permute with ``csr_expand_perm``); the other
+    channels pass through, so ``C_out = C - (ts^2+ts+3) + ts^3*3``.
 
     The grid iterates the CSR chunks themselves (not patches x capacity):
     scalar-prefetched chunk->patch / chunk->k maps mean empty patches cost
@@ -766,7 +801,12 @@ def csr_partial_channels(settings, channels, pos_packed, counts, base,
     kofs = jnp.where(ci < total, ci - base[pchk], kmax).astype(jnp.int32)
 
     xg = max(1, min(_LANE, is_) // p)    # patches per lane-aligned block
-    kernel = functools.partial(_csr_kernel, rows, p, nc, kmax, t, xg)
+    kernel = functools.partial(_csr_kernel, rows, p, nc, kmax, t, xg,
+                               expand)
+    if expand is None:
+        nc_out = nc
+    else:
+        nc_out = nc - expand[0] - expand[1] - 3 + expand[0] * expand[1] * 3
     from jax.experimental.pallas import tpu as pltpu
 
     def byx(c, pchk_ref, kofs_ref):
@@ -783,14 +823,29 @@ def csr_partial_channels(settings, channels, pos_packed, counts, base,
             pl.BlockSpec((1, 1, 1, rows, _LANE),
                          lambda c, *s: (*byx(c, *s), 0, 0)),
         ],
-        out_specs=pl.BlockSpec((_LANE, nc), lambda c, *s: (c, 0)),
+        out_specs=pl.BlockSpec((_LANE, nc_out), lambda c, *s: (c, 0)),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=_out_struct((lc * _LANE, nc), jnp.float32, channels),
+        out_shape=_out_struct((lc * _LANE, nc_out), jnp.float32, channels),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(pchk, kofs, channels, pos_packed)
     return out
+
+
+def csr_expand_perm(ts):
+    """Column permutation mapping the kernel's (c2, ch)-major expanded K6
+    block order back to the cells path's (i01, c2, ch) order: output
+    column (i01 * ts + c2) * 3 + ch was produced at kernel column
+    (c2 * 3 + ch) * ts^2 + i01."""
+    import numpy as np
+    perm = np.empty(ts * ts * ts * 3, np.int32)
+    for i01 in range(ts * ts):
+        for c2 in range(ts):
+            for ch in range(3):
+                perm[(i01 * ts + c2) * 3 + ch] = \
+                    (c2 * 3 + ch) * ts * ts + i01
+    return perm

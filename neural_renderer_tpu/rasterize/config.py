@@ -75,22 +75,6 @@ class RasterizeSettings:
     # Exact iff `forward_pallas.csr_rows_needed(settings, faces)` <= this
     # value.  None = global segment reduction (exact, no capacity).
     grad_csr_rows: Optional[int] = None
-    # Pallas forward: the face list is two mirrored copies split at this
-    # index ([faces, reversed] — the Renderer's fill_back doubling,
-    # reference renderer.py:37,57,77).  The windowed feature fetch then
-    # tracks one id window per half (a screen patch bins camera-side
-    # originals AND far-side reversed copies, so a single window can never
-    # cover both).  Purely a performance hint; None = one window.
-    mirror_split: Optional[int] = None
-    # Pallas forward: opt into the windowed feature fetch — the chunk
-    # fetch contracts over a dynamic face-id tile window whenever the
-    # chunk's member-id span fits (gated per patch-chunk at RUN time, so
-    # results stay exact for ANY face order; the window only ever *fits*
-    # when faces are id-local, e.g. Mesh(spatial_order=True) /
-    # nr.spatial_sort).  Off by default: on unsorted meshes the windows
-    # rarely fit, so the span bookkeeping is pure overhead on the default
-    # path.  Set True when rendering a spatially-sorted mesh.
-    windowed_fetch: bool = False
     # Pallas forward: static size of the compact (patch, chunk) schedule
     # the shaded kernel iterates (one entry per patch plus one per binned
     # 128-face chunk).  None = automatic: provably-sufficient dense size,

@@ -85,10 +85,8 @@ def _pallas_multipass_maps(settings, faces, textures, fuse_rgb,
     import dataclasses
 
     from neural_renderer_tpu.rasterize import forward_pallas
-    # CSR artifacts are single-pass-only, and the mirror-split hint is
-    # meaningless for face-list slices
-    settings = dataclasses.replace(settings, grad_csr_rows=None,
-                                   mirror_split=None)
+    # CSR artifacts are single-pass-only
+    settings = dataclasses.replace(settings, grad_csr_rows=None)
     s = forward_pallas.slice_size(forward_pallas._NFEAT + (
         textures.shape[2] ** 3 * 3 if fuse_rgb else 0))
     nf = faces.shape[1]
@@ -433,7 +431,21 @@ def _bwd(settings, res, cotangents):
             res['face_inv_map'], res['weight_map'], res['depth_map'],
             g_depth_map)
         channels.append(('k7', contrib.reshape(bs, is_, is_, 9)))
-    if settings.return_rgb and ts == 2:
+    k6_expand = None
+    if settings.return_rgb and 'csr_pos' in res and 2 <= ts <= 4:
+        # CSR path: the fused stack carries only the ts^2 + ts + 3 K6
+        # FACTOR channels; the CSR partial kernel expands them to the
+        # ts^3 * 3 cell-resolved columns on 32-pixel VMEM blocks
+        # (bit-exact multiply order).  At ts=4 this moves 192 full-image
+        # planes of stack write + kernel read off HBM — the measured
+        # ts=4 throughput gap — and drops the cell-row materialization
+        # budget from the fast path entirely.
+        factors = tex.texture_cell_factors(
+            settings, res['face_index_map'], res['face_w'],
+            res['weight_map'], res['depth_map'], g_rgb_map, ts)
+        channels.append(('k6f', factors))
+        k6_expand = (ts * ts, ts)
+    elif settings.return_rgb and ts == 2:
         rows = tex.texture_channels_ts2(
             settings, res['face_index_map'], res['face_w'],
             res['weight_map'], res['depth_map'], g_rgb_map)
@@ -479,7 +491,8 @@ def _bwd(settings, res, cotangents):
                     s.image_size, bs))
             partials = backward_pallas.csr_partial_channels(
                 s, fused, res['csr_pos'], res['csr_counts'],
-                res['csr_base'], forward_pallas.chunk_capacity(s, nf))
+                res['csr_base'], forward_pallas.chunk_capacity(s, nf),
+                expand=k6_expand)
             return jax.ops.segment_sum(
                 partials, res['csr_gseg'],
                 num_segments=bs * nf + 1)[:-1]
@@ -491,6 +504,43 @@ def _bwd(settings, res, cotangents):
             # CPU) or the scene overflowed the CSR capacity.
             seg_flat = bwd.face_segments(
                 settings, faces, res['face_index_map']).reshape(-1)
+            if k6_expand is not None:
+                # the CSR branch expands K6 factors in-kernel; this
+                # fallback expands them here ((c2, ch)-major like the
+                # kernel — one shared unpermute happens after the cond),
+                # or takes the lean 8-pass scatter when the cell rows
+                # would blow the materialization budget
+                n01, na2 = k6_expand
+                naux = n01 + na2 + 3
+                ncb = fused.shape[1] - naux
+                base_px = fused[:, :ncb]
+                u = fused[:, ncb:ncb + n01]
+                av = fused[:, ncb + n01:ncb + n01 + na2]
+                gm = fused[:, ncb + n01 + na2:]
+                if ts == 2 or tex.cell_channels_fit(settings, bs, ts):
+                    cells = []
+                    for j in range(na2):
+                        tj = u * av[:, j:j + 1]
+                        for ch in range(3):
+                            cells.append(tj * gm[:, ch:ch + 1])
+                    full = jax.lax.optimization_barrier(
+                        jnp.concatenate([base_px] + cells, axis=1))
+                    return jax.ops.segment_sum(
+                        jnp.transpose(full, (0, 2, 3, 1)).reshape(
+                            -1, full.shape[1]),
+                        seg_flat, num_segments=bs * nf + 1)[:-1]
+                base_tot = jax.ops.segment_sum(
+                    jnp.transpose(base_px, (0, 2, 3, 1)).reshape(-1, ncb),
+                    seg_flat, num_segments=bs * nf + 1)[:-1]
+                k6_cells = tex.grad_textures(
+                    settings, faces, res['face_index_map'], res['face_w'],
+                    res['weight_map'], res['depth_map'], g_rgb_map,
+                    res['textures'].shape).reshape(bs * nf, -1)
+                from neural_renderer_tpu.rasterize import backward_pallas
+                import numpy as np
+                perm = backward_pallas.csr_expand_perm(ts)
+                return jnp.concatenate(
+                    [base_tot, k6_cells[:, np.argsort(perm)]], axis=1)
             return jax.ops.segment_sum(
                 jnp.transpose(fused, (0, 2, 3, 1)).reshape(
                     -1, fused.shape[1]),
@@ -507,8 +557,16 @@ def _bwd(settings, res, cotangents):
             total = _global_reduce(fused)
         off = 0
         for name, c in channels:
-            width = c.shape[-1]
-            sums[name] = total[:, off:off + width]
+            if name == 'k6f':
+                # expanded in the reduction: naux factor channels in,
+                # ts^3*3 cell columns out, unpermuted to cube order
+                from neural_renderer_tpu.rasterize import backward_pallas
+                width = k6_expand[0] * k6_expand[1] * 3
+                perm = backward_pallas.csr_expand_perm(ts)
+                sums['k6'] = total[:, off:off + width][:, perm]
+            else:
+                width = c.shape[-1]
+                sums[name] = total[:, off:off + width]
             off += width
 
     grad_faces = jnp.zeros_like(faces)

@@ -87,13 +87,11 @@ def _warn_chunk_budget(total, budget):
 # transposed face-feature table layout (lane axis):
 # 0:x0 1:y0 2:x1 3:y1 4:x2 5:y2 (NDC xy), 6:z0 7:z1 8:z2,
 # 9..17: face_inv rows, 18: face id + 1 (0 = empty),
-# 19..42: optional ts=2 texel values (cell-major, rgb minor)
+# 19.. : optional texel values, CHANNEL-major (lane 19 + c*ts^3 + cell) —
+#        the finalize shades rgb channel c from ONE contiguous [ts^3, 128]
+#        sublane block instead of ts^3*3 strided single-row extractions
 _NFEAT = 19
 _CHUNK = 128          # faces per streamed chunk (f32 lane width)
-_FWT = 8              # feature-fetch window, in 128-face tiles (the
-                      # windowed path engages per (patch, chunk) when the
-                      # chunk's member-face id span fits — spatially
-                      # sorted meshes; exact for any order)
 _VMEM_TABLE_LIMIT = 8 * 1024 * 1024
 
 
@@ -264,7 +262,9 @@ def _feature_table(settings, faces, textures=None):
         jnp.broadcast_to(fid1, (bs, nf, 1)),
     ]
     if textures is not None:
-        parts.append(textures.reshape(bs, nf, -1))   # ts^3 * 3 texel lanes
+        # channel-major texel lanes (see layout comment above)
+        parts.append(textures.transpose(0, 1, 5, 2, 3, 4).reshape(
+            bs, nf, -1))
     feat = jnp.concatenate(parts, axis=-1)       # [bs, nf, 19(+ts^3*3)]
     # faces on sublanes, features on lanes: the kernel contracts the face
     # axis directly (dot_general ((0,), (1,))), no transposes anywhere.
@@ -661,83 +661,21 @@ def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb, ts,
 
         # features for this chunk's 128 faces; the same [nfeat, CHUNK]
         # orientation is appended to the patch's resident (transposed)
-        # list, so ONE exact one-hot contraction serves both.  The
-        # chunk's member positions occupy a face-id span [lo, hi]; when
-        # that span fits _FWT lane-tiles (spatially local face order —
-        # see ops.spatial_sort / Mesh(spatial_order=True)), the one-hot
-        # compare and the MXU fetch contract over the dynamic window
-        # instead of all nf_pad lanes.  Gated at RUN time per
-        # (patch, chunk): exact for any face order.
-        # the Renderer's fill_back doubling makes the list two mirrored
-        # halves; a patch bins camera-side originals AND far-side reversed
-        # copies, so the window tracks each half separately (empty windows
-        # fetch all-zero one-hot columns — exact anywhere)
-        split = getattr(settings, 'mirror_split', None)
-        segs = ([(0, split), (split, nf_pad)]
-                if split and 0 < split < nf_pad else [(0, nf_pad)])
-        wt = _FWT // len(segs)            # window tiles per segment
-        windowed = (getattr(settings, 'windowed_fetch', False)
-                    and nf_pad > _FWT * _CHUNK)
-        if windowed:
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, nf_pad), 1)
-            inw = (pz >= k * _CHUNK + 1) & (pz <= (k + 1) * _CHUNK)
-            fits = None
-            tlos = []
-            for a, bseg in segs:
-                m = inw & (lane >= a) & (lane < bseg)
-                lo = jnp.min(jnp.where(m, lane, nf_pad))
-                hi = jnp.max(jnp.where(m, lane, -1))
-                tlos.append(jnp.minimum(lo // _CHUNK,
-                                        nf_pad // _CHUNK - wt))
-                ok = (hi < 0) | (hi // _CHUNK - lo // _CHUNK < wt)
-                fits = ok if fits is None else fits & ok
-
-            @pl.when(fits)
-            def _fetch_win():
-                acc = None
-                for (a, bseg), tlo in zip(segs, tlos):
-                    sl = pl.ds(tlo * _CHUNK, wt * _CHUNK)
-                    slotw = jax.lax.broadcasted_iota(
-                        jnp.int32, (_CHUNK, wt * _CHUNK), 0)
-                    # clip the one-hot to this segment's lanes: two
-                    # segments' windows may overlap (an empty segment's
-                    # clamped window can land on the other's tiles) and a
-                    # member matched by both would be double-counted
-                    lanew = (jax.lax.broadcasted_iota(
-                        jnp.int32, (1, wt * _CHUNK), 1) + tlo * _CHUNK)
-                    inseg = (lanew >= a) & (lanew < bseg)
-                    ohw = ((prefix_ref[0, 0, 0, 0:1, sl]
-                            == (k * _CHUNK + 1 + slotw))
-                           & inseg).astype(jnp.float32)
-                    fw = featT_ref[0, sl, :]     # [wt*128 faces, nfeat]
-                    d = jax.lax.dot_general(
-                        fw, ohw, (((0,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-                    acc = d if acc is None else acc + d
-                flist_ref[:, pl.ds(k * _CHUNK, _CHUNK)] = acc
-
-            @pl.when(jnp.logical_not(fits))
-            def _fetch_full():
-                slot = jax.lax.broadcasted_iota(
-                    jnp.int32, (_CHUNK, nf_pad), 0)
-                onehot = (pz == (k * _CHUNK + 1 + slot)).astype(
-                    jnp.float32)
-                flist_ref[:, pl.ds(k * _CHUNK, _CHUNK)] = \
-                    jax.lax.dot_general(
-                        featT_ref[0], onehot, (((0,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-
-            f = flist_ref[:, pl.ds(k * _CHUNK, _CHUNK)]
-        else:
-            slot = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, nf_pad), 0)
-            onehot = (pz == (k * _CHUNK + 1 + slot)).astype(jnp.float32)
-            f = jax.lax.dot_general(
-                featT_ref[0], onehot, (((0,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)         # [nfeat, CHUNK]
-            flist_ref[:, pl.ds(k * _CHUNK, _CHUNK)] = f
+        # list, so ONE exact one-hot contraction serves both.  (A windowed
+        # variant that contracted over a dynamic face-id tile window for
+        # spatially-sorted meshes was built in r3 and REMOVED in r4: it
+        # regressed on-chip as a default — the span bookkeeping outweighed
+        # the skipped K-tiles — and the full fetch it would shave is only
+        # ~3 ms of the 41 ms forward, so even a prefetched-window redo
+        # could not pay for its complexity.  ops.spatial_sort remains as a
+        # preprocessing utility.)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (_CHUNK, nf_pad), 0)
+        onehot = (pz == (k * _CHUNK + 1 + slot)).astype(jnp.float32)
+        f = jax.lax.dot_general(
+            featT_ref[0], onehot, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)             # [nfeat, CHUNK]
+        flist_ref[:, pl.ds(k * _CHUNK, _CHUNK)] = f
 
         if csr:
             # global segment id of each chunk slot for the backward's CSR
@@ -877,7 +815,7 @@ def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb, ts,
                         cw = cw * (tif[j] if bit else (1.0 - tif[j]))
                         isc += bit * scale[j]
                     for c in range(3):
-                        rgb[c] = rgb[c] + cw * arow(19 + isc * 3 + c)
+                        rgb[c] = rgb[c] + cw * arow(19 + c * 8 + isc)
                 for c in range(3):
                     acc['rgb'][c].append(jnp.where(cov_r, rgb[c], 0.0))
             elif with_rgb:
@@ -893,15 +831,18 @@ def _shaded_kernel(settings, p, rows, nf_pad, cap, nfeat, with_rgb, ts,
                     for j in range(3)]
                 hats = [[jnp.maximum(0.0, 1.0 - jnp.abs(tif[j] - c))
                          for c in range(ts)] for j in range(3)]
-                rgb = [jnp.zeros((1, _CHUNK), jnp.float32) for _ in range(3)]
-                for i0 in range(ts):
-                    for i1 in range(ts):
-                        hw01 = hats[0][i0] * hats[1][i1]
-                        for i2 in range(ts):
-                            hw = hw01 * hats[2][i2]
-                            isc = (i0 * ts + i1) * ts + i2
-                            for c in range(3):
-                                rgb[c] = rgb[c] + hw * arow(19 + isc * 3 + c)
+                # assemble the full [ts^3, 128] per-cell weight block and
+                # contract each rgb channel against its CONTIGUOUS texel
+                # sublane block — per-cell row extraction cost ts^3 * 3
+                # sublane slices per pixel row (~4 ms/step at ts=4 bs8)
+                h2v = jnp.concatenate(hats[2], axis=0)       # [ts, 128]
+                h12 = jnp.concatenate(
+                    [hats[1][i1] * h2v for i1 in range(ts)], axis=0)
+                hw = jnp.concatenate(
+                    [hats[0][i0] * h12 for i0 in range(ts)], axis=0)
+                ts3 = ts * ts * ts
+                rgb = [jnp.sum(hw * at[19 + c * ts3:19 + (c + 1) * ts3, :],
+                               axis=0, keepdims=True) for c in range(3)]
                 for c in range(3):
                     acc['rgb'][c].append(jnp.where(cov_r, rgb[c], 0.0))
 

@@ -183,6 +183,49 @@ def texture_channels_cells(settings, face_index_map, face_w, weight_map,
     return jnp.stack(chans, axis=-1)       # [bs, is, is, ts^3 * 3]
 
 
+def texture_cell_factors(settings, face_index_map, face_w, weight_map,
+                         depth_map, grad_rgb_map, ts):
+    """K6 per-pixel FACTOR channels ``[bs, is, is, ts^2 + ts + 3]``:
+    the ts^2 paired axis-01 hat products, the ts axis-2 hats, and the
+    covered-masked grad_rgb channels.
+
+    The cell-resolved K6 rows (``texture_channels_cells``) factor as
+    ``rows[(i01*ts + c2)*3 + c] = p01[i01] * a2[c2] * gmask[c]`` — the
+    same multiply order, so an expansion from these factors is bit-exact
+    per channel.  The CSR partial kernel performs that expansion on
+    32-pixel blocks in VMEM (``backward_pallas.csr_partial_channels``
+    with ``expand``), so the fused backward stack carries ts^2 + ts + 3
+    channels instead of ts^3 * 3 — at ts=4 that is 23 vs 192 channels of
+    HBM traffic (the stack write + kernel read were the measured ts=4
+    gap), and the 4 GB cell-row materialization budget stops constraining
+    the fast path entirely.
+
+    ts=2 factors reproduce ``texture_channels_ts2`` exactly: ``_corner``
+    accumulates w = f0*f1*f2 left-associatively = (f0*f1)*f2.
+
+    EVERY factor channel is zeroed at uncovered pixels: tif there is
+    0 * (far / z=0) = NaN, and NaN reaching the CSR kernel's one-hot MXU
+    dot poisons whole partial columns (0 * NaN = NaN on the MXU — the
+    same hazard _feature_table documents for degenerate faces).  Masking
+    only the grad channels is NOT enough."""
+    covered = face_index_map >= 0
+    tif = _texture_index_float(settings, face_w, weight_map, depth_map, ts)
+    lo = tif.astype(jnp.int32)          # trunc == floor for tif >= 0
+    frac = tif - lo.astype(jnp.float32)
+
+    def axis_vec(k):
+        lk, fk = lo[..., k], frac[..., k]
+        return [jnp.where(lk == j, 1.0 - fk, 0.0)
+                + jnp.where(lk + 1 == j, fk, 0.0) for j in range(ts)]
+
+    a0, a1, a2 = axis_vec(0), axis_vec(1), axis_vec(2)
+    chans = [jnp.where(covered, x0 * x1, 0.0) for x0 in a0 for x1 in a1]
+    chans += [jnp.where(covered, x, 0.0) for x in a2]
+    chans += [jnp.where(covered, grad_rgb_map[..., c], 0.0)
+              for c in range(3)]
+    return jnp.stack(chans, axis=-1)       # [bs, is, is, ts^2 + ts + 3]
+
+
 def grad_textures(settings, faces, face_index_map, face_w, weight_map,
                   depth_map, grad_rgb_map, texture_shape):
     """Backward texture gradient (K6, rasterize.py:750-792).

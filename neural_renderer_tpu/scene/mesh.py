@@ -51,10 +51,11 @@ class Mesh:
             vertices, textures, faces = m.vertices, m.textures, m._faces
         if spatial_order:
             # one-time host-side Morton reorder of the faces (and their
-            # texture cubes) so the Pallas forward's windowed feature
-            # fetch pays off — pair with
-            # ``renderer.perf_overrides = dict(windowed_fetch=True)``
-            # (ops/spatial.py).  Opt-in: z-ties between EXACTLY
+            # texture cubes) — a preprocessing utility (ops/spatial.py):
+            # spatially local face ids help downstream pipelines that
+            # slice or shard face lists.  (The r3 windowed feature fetch
+            # this originally fed was removed in r4 after measuring a
+            # regression on-chip.)  Opt-in: z-ties between EXACTLY
             # coincident faces resolve in the new list order.
             from neural_renderer_tpu.ops.spatial import face_spatial_order
             fa = (faces.value if isinstance(faces, _StaticArray)

@@ -92,14 +92,8 @@ class Renderer(object):
             [textures, textures.transpose(0, 1, 4, 3, 2, 5)], axis=1)
 
     def _perf(self, faces):
-        """perf_overrides, plus the fill_back mirror-split hint for the
-        Pallas forward's windowed feature fetch (the doubled list is two
-        mirrored halves; forward_pallas tracks one id window per half)."""
-        if not self.fill_back:
-            return self.perf_overrides
-        perf = dict(self.perf_overrides)
-        perf.setdefault('mirror_split', faces.shape[1] // 2)
-        return perf
+        del faces
+        return self.perf_overrides
 
     # ------------------------------------------------------------------
     def render_silhouettes(self, vertices, faces):

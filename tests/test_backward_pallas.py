@@ -254,6 +254,96 @@ def test_csr_partials_interpret():
                                rtol=1e-5, atol=scale * 1e-6)
 
 
+def test_csr_expand_interpret():
+    """In-kernel K6 cell expansion == XLA-expanded cells through the
+    global segment_sum (interpret mode; runs on any backend).  Covers the
+    factor layout, the (c2, ch)-major kernel column order, and
+    csr_expand_perm for ts 2 and 4."""
+    is_, nf = 128, 24
+    key = jax.random.PRNGKey(9)
+    fc = jax.random.uniform(key, (1, nf, 3, 3), minval=-0.9, maxval=0.9)
+    fc = fc.at[..., 2].set(1.0 + 0.3 * fc[..., 2])
+    s = RasterizeSettings(image_size=is_, return_rgb=False,
+                          return_alpha=True, return_depth=False,
+                          runtime_checks=False, backend='pallas',
+                          grad_csr_rows=128 * 24)
+    from neural_renderer_tpu.rasterize import forward_pallas
+    out = forward_pallas.forward_shaded(s, fc, interpret=True)
+    cap = forward_pallas.chunk_capacity(s, nf)
+    fim = out['face_index_map']
+    seg = jnp.where(fim >= 0, fim, nf).reshape(-1)
+
+    for ts in (2, 4):
+        n01, na2 = ts * ts, ts
+        naux = n01 + na2 + 3
+        nbase = 2
+        chan = jax.random.normal(jax.random.PRNGKey(10 + ts),
+                                 (1, is_, is_, nbase + naux))
+        partials = backward_pallas.csr_partial_channels(
+            s, chan.transpose(0, 3, 1, 2), out['csr_pos'],
+            out['csr_counts'], out['csr_base'], cap, interpret=True,
+            expand=(n01, na2))
+        got = jax.ops.segment_sum(partials, out['csr_gseg'],
+                                  num_segments=nf + 1)[:-1]
+        # XLA reference: expand per pixel in the same multiply order
+        base = chan[..., :nbase]
+        u = chan[..., nbase:nbase + n01]
+        av = chan[..., nbase + n01:nbase + n01 + na2]
+        gm = chan[..., nbase + n01 + na2:]
+        cells = []
+        for j in range(na2):
+            tj = u * av[..., j:j + 1]
+            for ch in range(3):
+                cells.append(tj * gm[..., ch:ch + 1])
+        full = jnp.concatenate([base] + cells, axis=-1)
+        want = jax.ops.segment_sum(full.reshape(-1, full.shape[-1]), seg,
+                                   num_segments=nf + 1)[:-1]
+        scale = float(np.abs(np.asarray(want)).max()) + 1e-9
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=scale * 1e-6,
+                                   err_msg=f'ts={ts}')
+        # the perm maps kernel columns back to cube cell order: compare
+        # against a direct cube-order expansion
+        perm = backward_pallas.csr_expand_perm(ts)
+        k6 = np.asarray(got[:, nbase:])[:, perm]
+        cube = []
+        for i01 in range(n01):
+            for c2 in range(na2):
+                tj = u[..., i01:i01 + 1] * av[..., c2:c2 + 1]
+                for ch in range(3):
+                    cube.append(tj * gm[..., ch:ch + 1])
+        cube = jnp.concatenate(cube, axis=-1)
+        want_cube = jax.ops.segment_sum(
+            cube.reshape(-1, cube.shape[-1]), seg,
+            num_segments=nf + 1)[:-1]
+        np.testing.assert_allclose(k6, np.asarray(want_cube), rtol=1e-5,
+                                   atol=scale * 1e-6, err_msg=f'ts={ts}')
+
+
+def test_texture_cell_factors_finite_at_uncovered():
+    """Uncovered pixels have tif = 0 * (far / z=0) = NaN; every factor
+    channel must still be exactly 0 there — a NaN reaching the CSR
+    kernel's one-hot MXU dot poisons whole partial columns (0 * NaN is
+    NaN on the MXU).  Regression for a bug that silently NaN'd ts=4
+    texture gradients on the production path."""
+    s = RasterizeSettings(image_size=64, return_rgb=True, return_alpha=True,
+                          return_depth=False, runtime_checks=False)
+    fim = jnp.full((1, 64, 64), -1, jnp.int32).at[0, 10, 10].set(0)
+    face_w = jnp.zeros((1, 64, 64, 3, 3))          # z = 0 everywhere
+    face_w = face_w.at[0, 10, 10, :, 2].set(1.0)   # covered pixel sane
+    wm = jnp.zeros((1, 64, 64, 3)).at[0, 10, 10].set(1 / 3)
+    dm = jnp.full((1, 64, 64), 100.0).at[0, 10, 10].set(1.0)
+    g = jnp.ones((1, 64, 64, 3))
+    for ts in (2, 4):
+        fac = np.asarray(tex.texture_cell_factors(s, fim, face_w, wm, dm,
+                                                  g, ts))
+        assert np.isfinite(fac).all(), ts
+        uncov = np.ones((64, 64), bool)
+        uncov[10, 10] = False
+        assert (fac[0][uncov] == 0).all(), ts
+        assert np.abs(fac[0, 10, 10]).sum() > 0, ts
+
+
 def test_csr_reduction_matches_global_gradients():
     """Full rasterize_core gradients: CSR face reduction vs the global
     segment_sum (TPU only — core only selects the CSR path there)."""
