@@ -44,11 +44,9 @@ def main():
     renderer.image_size = args.image_size
     renderer.eye = nr.get_points_from_angles(
         np.float32(2.732), np.float32(30), np.float32(90))
-    renderer.perf_overrides = dict(grad_out_cap=20480,
-                                   grad_offset_radius=36,
-                                   faces_per_tile_cap=512,
-                                   grad_csr_rows=295040,
-                                   runtime_checks=False)
+    # default auto-fast path (the bench headline configuration); explicit
+    # capacity knobs measured SLOWER than auto on this workload (r4)
+    renderer.perf_overrides = dict(runtime_checks=False)
 
     fwd_bwd = jax.jit(jax.value_and_grad(
         lambda v, t: jnp.sum(renderer.render(v, faces, t)),

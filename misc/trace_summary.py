@@ -1,0 +1,56 @@
+"""Summarize a jax.profiler trace: per-op TPU device time, grouped.
+
+    python misc/trace_summary.py /tmp/nr_trace/plugins/profile/*/vm.trace.json.gz [--steps N]
+
+Aggregates the 'XLA Ops' device track by op name (fusion instances fold
+together), prints ms/step so kernel and fusion costs attribute directly
+against the bench step budget.
+"""
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('path')
+    ap.add_argument('--steps', type=int, default=3)
+    ap.add_argument('--top', type=int, default=40)
+    args = ap.parse_args()
+
+    path = sorted(glob.glob(args.path))[-1]
+    with gzip.open(path) as f:
+        d = json.load(f)
+    ev = d.get('traceEvents', [])
+
+    # device pid + 'XLA Ops' tid
+    dev_pids = {e['pid'] for e in ev
+                if e.get('ph') == 'M' and e.get('name') == 'process_name'
+                and 'TPU' in e['args'].get('name', '')}
+    op_tids = {(e['pid'], e['tid']) for e in ev
+               if e.get('ph') == 'M' and e.get('name') == 'thread_name'
+               and e['args'].get('name') == 'XLA Ops'
+               and e['pid'] in dev_pids}
+
+    tot = collections.Counter()
+    cnt = collections.Counter()
+    for e in ev:
+        if e.get('ph') != 'X' or (e.get('pid'), e.get('tid')) not in op_tids:
+            continue
+        name = e['name']
+        tot[name] += e.get('dur', 0)
+        cnt[name] += 1
+
+    total = sum(tot.values())
+    print(f'total device op time: {total / 1e3 / args.steps:8.2f} ms/step '
+          f'({len(tot)} distinct ops)')
+    for name, us in tot.most_common(args.top):
+        print(f'{us / 1e3 / args.steps:9.3f} ms/step  x{cnt[name] // args.steps:<3d} '
+              f'{name[:110]}')
+
+
+if __name__ == '__main__':
+    main()

@@ -296,7 +296,12 @@ def _auto_channels(settings, faces, face_index_map, face_w, rgb_map,
         off_worst = ow if off_worst is None else jnp.maximum(off_worst, ow)
         for e in range(3):
             in_chans[_EA.index((e, a))] = (six[2 * e], six[2 * e + 1])
-    in12k = jnp.stack([c for pair in in_chans for c in pair], axis=-1)
+    # channel-LEADING stacks ([bs, 12, is, is]): the fused reduction's
+    # consumers (the CSR partial kernel, the channel slicing) all run on
+    # channel-leading layouts — stacking on axis=1 here means the guard
+    # conds below emit exactly that layout, instead of XLA inserting a
+    # 1.2 ms full-stack relayout copy per cond at 512^2 bs32 (traced r4)
+    in12k = jnp.stack([c for pair in in_chans for c in pair], axis=1)
 
     s1_map = jnp.zeros_like(alpha_map)
     if settings.return_alpha:
@@ -314,7 +319,7 @@ def _auto_channels(settings, faces, face_index_map, face_w, rgb_map,
         row_worst = rw if row_worst is None else jnp.maximum(row_worst, rw)
         for e in range(3):
             out_chans[_EA.index((e, a))] = (six[2 * e], six[2 * e + 1])
-    out12k = jnp.stack([c for pair in out_chans for c in pair], axis=-1)
+    out12k = jnp.stack([c for pair in out_chans for c in pair], axis=1)
 
     def in_xla(_):
         chans = []
@@ -341,7 +346,7 @@ def _auto_channels(settings, faces, face_index_map, face_w, rgb_map,
             c0, c1 = _dist_contrib(settings, dg, delta, X[0], X[1], d0)
             chans.append((jnp.where(act_in, c0, 0.0),
                           jnp.where(act_in, c1, 0.0)))
-        return jnp.stack([c for pair in chans for c in pair], axis=-1)
+        return jnp.stack([c for pair in chans for c in pair], axis=1)
 
     def out_dense(_):
         chans = []
@@ -354,7 +359,7 @@ def _auto_channels(settings, faces, face_index_map, face_w, rgb_map,
             chans.append(_out_sweep(settings, a, act_out, cr, X, d0,
                                     alpha_map, rgb_map, grad_rgb_map,
                                     grad_alpha_map))
-        return jnp.stack([c for pair in chans for c in pair], axis=-1)
+        return jnp.stack([c for pair in chans for c in pair], axis=1)
 
     in12 = jax.lax.cond(off_worst <= radius, lambda _: in12k, in_xla, 0)
     out12 = jax.lax.cond(row_worst <= settings.grad_row_cap,
@@ -364,10 +369,10 @@ def _auto_channels(settings, faces, face_index_map, face_w, rgb_map,
 
 def pixel_map_channels(settings, faces, face_index_map, face_w, rgb_map,
                        alpha_map, grad_rgb_map, grad_alpha_map):
-    """K5 per-pixel contributions: 12 channels (c0, c1 per edge x axis) to
-    be segment-reduced by the caller, plus an already-reduced extra grad
-    from the compacted out-sweep (or None when the out-sweep is dense —
-    then it's folded into the channels)."""
+    """K5 per-pixel contributions: channel-leading ``[bs, 12, is, is]``
+    (c0, c1 per edge x axis) to be segment-reduced by the caller, plus an
+    already-reduced extra grad from the compacted out-sweep (or None when
+    the out-sweep is dense — then it's folded into the channels)."""
     from neural_renderer_tpu.rasterize import backward_pallas
     if (settings.auto_fast
             and settings.grad_offset_radius is None
@@ -520,7 +525,7 @@ def pixel_map_channels(settings, faces, face_index_map, face_w, rgb_map,
                 settings, a, masks, fidx, nf, ppx, ppy,
                 alpha_map, rgb_map, grad_rgb_map, grad_alpha_map)
 
-    stacked = jnp.stack([c for pair in contribs for c in pair], axis=-1)
+    stacked = jnp.stack([c for pair in contribs for c in pair], axis=1)
     return stacked, extra
 
 
@@ -869,11 +874,15 @@ def _take_rows(m, ridx):
 
 def depth_channels(settings, faces, face_index_map, face_w, face_inv_map,
                    weight_map, depth_map, grad_depth_map):
-    """K7 per-pixel contributions [bs, is, is, 3, 3] (rasterize.py:794-847).
+    """K7 per-pixel contributions, channel-leading ``[bs, 9, is, is]``
+    (rasterize.py:794-847); channel ``v*3 + c`` is (vertex v, coord c).
 
     dL/dz_k += g * w_k * d^2 / z_k^2 ;
     dL/d(x,y)_k += -g * tmp_l * w_k * d^2 * is/2,
     tmp_l = sum_rows(-face_inv[row, l] / z_row).
+
+    Per-channel multiply order matches the previous broadcast formulation
+    bit-for-bit (left-associated elementwise products).
     """
     is_ = settings.image_size
     covered = face_index_map >= 0
@@ -883,13 +892,16 @@ def depth_channels(settings, faces, face_index_map, face_w, face_inv_map,
     d2 = depth_map * depth_map
     g = grad_depth_map
 
-    gz = g[..., None] * weight_map * d2[..., None] / (z * z)   # [bs,is,is,3]
     tmp = jnp.sum(-face_inv_map / z[..., None], axis=-2)       # [bs,is,is,3]
-    gxy = (-g[..., None, None] * tmp[..., None, :2]
-           * weight_map[..., None] * d2[..., None, None] * (is_ / 2.0))
-
-    contrib = jnp.concatenate([gxy, gz[..., None]], axis=-1)   # [bs,is,is,3,3]
-    return jnp.where(covered[..., None, None], contrib, 0.0)
+    ng = -g
+    chans = []
+    for v in range(3):
+        for c in range(2):
+            chans.append(ng * tmp[..., c] * weight_map[..., v]
+                         * d2 * (is_ / 2.0))
+        chans.append(g * weight_map[..., v] * d2 / (z[..., v] * z[..., v]))
+    contrib = jnp.stack(chans, axis=1)                # [bs, 9, is, is]
+    return jnp.where(covered[:, None], contrib, 0.0)
 
 
 def grad_faces_depth(settings, faces, face_index_map, face_w, face_inv_map,
@@ -903,6 +915,7 @@ def grad_faces_depth(settings, faces, face_index_map, face_w, face_inv_map,
                              grad_depth_map)
     seg = face_segments(settings, faces, face_index_map)
     contrib = jax.lax.optimization_barrier(contrib)   # scalar-fusion guard
-    flat = jax.ops.segment_sum(contrib.reshape(-1, 9), seg.reshape(-1),
-                               num_segments=bs * nf + 1)[:-1]
+    flat = jax.ops.segment_sum(
+        contrib.transpose(0, 2, 3, 1).reshape(-1, 9), seg.reshape(-1),
+        num_segments=bs * nf + 1)[:-1]
     return flat.reshape(bs, nf, 3, 3)

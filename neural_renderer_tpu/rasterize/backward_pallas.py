@@ -297,7 +297,7 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
 
     @pl.when(c == 0)
     def _zero():
-        out_ref[0] = jnp.zeros_like(out_ref[0])
+        out_ref[...] = jnp.zeros_like(out_ref[...])
 
     @pl.when((c == 0) & (blk_any > 0))
     def _discover():
@@ -431,8 +431,11 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
                 cv6, ohx, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST)          # [6, is]
-            out_ref[0, pl.ds(r * 6, 6), :] = \
-                out_ref[0, pl.ds(r * 6, 6), :] + row_add
+            # channel-plane output ([1, 6, rows, is] block): the wrapper
+            # hands each plane straight to the channel-leading stack — the
+            # old (row, channel)-interleaved layout cost ~3 ms/step of XLA
+            # reshape/transpose unshuffle at 512^2 bs32 (traced r4)
+            out_ref[0, :, r, :] = out_ref[0, :, r, :] + row_add
 
         live = c * _KS < cnts[r]
         if windowed:
@@ -586,7 +589,8 @@ def outsweep_channels(settings, a, ppx, ppy, alpha_map, s1_map,
     kernel = functools.partial(_outsweep_kernel, settings, dir_lt, rows,
                                is_, with_rgb, kc)
     spec = pl.BlockSpec((1, rows, is_), lambda b, i, c, pk: (b, i, 0))
-    out_spec = pl.BlockSpec((1, 6 * rows, is_), lambda b, i, c, pk: (b, i, 0))
+    out_spec = pl.BlockSpec((1, 6, rows, is_),
+                            lambda b, i, c, pk: (b, 0, i, 0))
     from jax.experimental.pallas import tpu as pltpu
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -602,18 +606,15 @@ def outsweep_channels(settings, a, ppx, ppy, alpha_map, s1_map,
     out, = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[_out_struct((bs, 6 * rows * (is_ // rows), is_),
-                               jnp.float32, alpha_map)],
+        out_shape=[_out_struct((bs, 6, is_, is_), jnp.float32, alpha_map)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(packed, *inputs)
-    # out rows: block i holds [rows, 6] planes at sublanes [i*6*rows ...]
-    out = out.reshape(bs, is_ // rows, rows, 6, is_)
-    out = out.transpose(3, 0, 1, 2, 4).reshape(6, bs, is_, is_)
+    # direct channel planes — no XLA-side unshuffle pass exists at all
     # (channels in the walk frame get transposed back for a=0; the stat is
     # a global max, frame-independent)
-    return [tr(out[j]) for j in range(6)], row_worst
+    return [tr(out[:, j]) for j in range(6)], row_worst
 
 
 def insweep_channels(settings, a, ppx, ppy, alpha_map, grad_alpha_map,
@@ -761,9 +762,8 @@ def csr_partial_channels(settings, channels, pos_packed, counts, base,
                          cap, interpret=False, expand=None):
     """Per-patch partial face sums of fused per-pixel channels.
 
-    channels ``[bs, C, is, is]`` (channel-LEADING — physically the same
-    bytes as the pixel-minor ``[bs, is, is, C]`` stack XLA naturally
-    produces, so the caller's transpose is a free bitcast);
+    channels ``[bs, C, is, is]`` (channel-LEADING — the producers build
+    their stacks on axis=1 natively, see ``core._bwd``);
     pos_packed ``[bs, t, t, rows, 128]`` and
     counts/base from the shaded forward (``grad_csr_rows`` set).  Returns
     partials ``[grad_csr_rows, C_out]`` whose row ``128*base[pt] + pos``

@@ -418,7 +418,7 @@ def _bwd(settings, res, cotangents):
     # pixel->face segments.  Scatter cost on TPU is per-index, not
     # per-byte (~80 ms per 8.4M indices at 512^2 bs32), so every channel
     # rides ONE fused segment reduction.
-    channels = []           # (name, per-pixel [bs, is, is, C]) pairs
+    channels = []           # (name, per-pixel [bs, C, is, is]) pairs
     extra_k5 = None
     if settings.return_rgb or settings.return_alpha:
         stacked, extra_k5 = bwd.pixel_map_channels(
@@ -430,7 +430,7 @@ def _bwd(settings, res, cotangents):
             settings, faces, res['face_index_map'], res['face_w'],
             res['face_inv_map'], res['weight_map'], res['depth_map'],
             g_depth_map)
-        channels.append(('k7', contrib.reshape(bs, is_, is_, 9)))
+        channels.append(('k7', contrib))
     k6_expand = None
     if settings.return_rgb and 'csr_pos' in res and 2 <= ts <= 4:
         # CSR path: the fused stack carries only the ts^2 + ts + 3 K6
@@ -463,18 +463,18 @@ def _bwd(settings, res, cotangents):
 
     sums = {}
     if channels:
-        fused = jnp.concatenate([c for _, c in channels], axis=-1)
-        # the barrier keeps per-pixel producers out of the reduction that
+        # every producer emits channel-LEADING [bs, C, is, is] stacks
+        # natively: the CSR partial kernel pins that layout, and building
+        # it at the source (rather than transposing a channel-minor
+        # concat) keeps the auto-guard lax.conds' output layouts canonical
+        # — the channel-minor version cost two 1.2 ms full-stack relayout
+        # copies at the cond boundaries (512^2 bs32, traced r4).
+        # The barrier keeps per-pixel producers out of the reduction that
         # follows: without it XLA fuses them into the scatter (which then
         # lowers to scalar loops) or remats them as [bs,is,is,1] copies
         # that lane-pad 128x and blow HBM (observed: 84G of temps).
-        # Channel-LEADING view: XLA stores the pixel-minor producers'
-        # stack as {2,1,3,0} (physically [bs, C, is, is]) anyway, and the
-        # CSR kernel consumes that layout directly — with a channel-minor
-        # operand the pallas default-layout pin forced an 8.8 ms relayout
-        # copy of the whole 1.2 GB stack at 512^2 bs32.
         fused = jax.lax.optimization_barrier(
-            jnp.transpose(fused, (0, 3, 1, 2)))
+            jnp.concatenate([c for _, c in channels], axis=1))
 
         def _csr_reduce(fused):
             # per-patch partial face sums (one-hot MXU against the
@@ -565,7 +565,7 @@ def _bwd(settings, res, cotangents):
                 perm = backward_pallas.csr_expand_perm(ts)
                 sums['k6'] = total[:, off:off + width][:, perm]
             else:
-                width = c.shape[-1]
+                width = c.shape[1]
                 sums[name] = total[:, off:off + width]
             off += width
 

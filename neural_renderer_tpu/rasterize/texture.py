@@ -104,8 +104,9 @@ def sample_textures(settings, faces, textures, face_index_map, face_w,
 def texture_channels_ts2(settings, face_index_map, face_w, weight_map,
                          depth_map, grad_rgb_map):
     """K6 per-pixel contributions for ts=2: the winner cube's full 24
-    channels (8 cells x rgb) per pixel, to be segment-reduced by the
-    caller over the shared pixel->face map."""
+    channels (8 cells x rgb) per pixel, channel-leading
+    ``[bs, 24, is, is]``, to be segment-reduced by the caller over the
+    shared pixel->face map."""
     covered = face_index_map >= 0
     tif = _texture_index_float(settings, face_w, weight_map, depth_map, 2)
     lo = tif.astype(jnp.int32)
@@ -117,9 +118,9 @@ def texture_channels_ts2(settings, face_index_map, face_w, weight_map,
             isc_static & 1
         pn = b0 | (b1 << 1) | (b2 << 2)
         w, _ = _corner(tif, lo, pn, 2)
-        rows.append(jnp.where(covered[..., None],
-                              w[..., None] * grad_rgb_map, 0.0))
-    return jnp.concatenate(rows, axis=-1)                    # [bs,is,is,24]
+        for c in range(3):
+            rows.append(jnp.where(covered, w * grad_rgb_map[..., c], 0.0))
+    return jnp.stack(rows, axis=1)                        # [bs,24,is,is]
 
 
 # texture_channels_cells materializes [bs, is, is, ts^3 * 3] rows; cap the
@@ -140,7 +141,7 @@ def cell_channels_fit(settings, bs, ts):
 def texture_channels_cells(settings, face_index_map, face_w, weight_map,
                            depth_map, grad_rgb_map, ts):
     """K6 per-pixel contributions for 3 <= ts <= 4: cell-resolved rows
-    ``[bs, is, is, ts^3 * 3]`` whose channel ``isc*3 + c`` holds the
+    ``[bs, ts^3 * 3, is, is]`` whose channel ``isc*3 + c`` holds the
     pixel's trilinear weight for cube cell ``isc`` times ``grad_rgb_c``.
 
     The 8-corner sum factorizes per axis: corner weights are products of
@@ -180,12 +181,12 @@ def texture_channels_cells(settings, face_index_map, face_w, weight_map,
             w_cell = p01[i01] * a2[c2]
             for c in range(3):
                 chans.append(w_cell * gmask[c])
-    return jnp.stack(chans, axis=-1)       # [bs, is, is, ts^3 * 3]
+    return jnp.stack(chans, axis=1)        # [bs, ts^3 * 3, is, is]
 
 
 def texture_cell_factors(settings, face_index_map, face_w, weight_map,
                          depth_map, grad_rgb_map, ts):
-    """K6 per-pixel FACTOR channels ``[bs, is, is, ts^2 + ts + 3]``:
+    """K6 per-pixel FACTOR channels ``[bs, ts^2 + ts + 3, is, is]``:
     the ts^2 paired axis-01 hat products, the ts axis-2 hats, and the
     covered-masked grad_rgb channels.
 
@@ -223,7 +224,7 @@ def texture_cell_factors(settings, face_index_map, face_w, weight_map,
     chans += [jnp.where(covered, x, 0.0) for x in a2]
     chans += [jnp.where(covered, grad_rgb_map[..., c], 0.0)
               for c in range(3)]
-    return jnp.stack(chans, axis=-1)       # [bs, is, is, ts^2 + ts + 3]
+    return jnp.stack(chans, axis=1)        # [bs, ts^2 + ts + 3, is, is]
 
 
 def grad_textures(settings, faces, face_index_map, face_w, weight_map,
@@ -255,8 +256,8 @@ def grad_textures(settings, faces, face_index_map, face_w, weight_map,
                                     weight_map, depth_map, grad_rgb_map)
         rows = jax.lax.optimization_barrier(rows)
         flat = jax.ops.segment_sum(
-            rows.reshape(-1, n_cells * 3), seg_face.reshape(-1),
-            num_segments=bs * nf + 1)[:-1]
+            rows.transpose(0, 2, 3, 1).reshape(-1, n_cells * 3),
+            seg_face.reshape(-1), num_segments=bs * nf + 1)[:-1]
         return flat.reshape(texture_shape)
 
     if cell_channels_fit(settings, face_index_map.shape[0], ts):
@@ -267,8 +268,8 @@ def grad_textures(settings, faces, face_index_map, face_w, weight_map,
                                       ts)
         rows = jax.lax.optimization_barrier(rows)
         flat = jax.ops.segment_sum(
-            rows.reshape(-1, n_cells * 3), seg_face.reshape(-1),
-            num_segments=bs * nf + 1)[:-1]
+            rows.transpose(0, 2, 3, 1).reshape(-1, n_cells * 3),
+            seg_face.reshape(-1), num_segments=bs * nf + 1)[:-1]
         return flat.reshape(texture_shape)
 
     boffs = (jnp.arange(bs, dtype=jnp.int32) * (nf * n_cells))[

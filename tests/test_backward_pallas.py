@@ -336,12 +336,12 @@ def test_texture_cell_factors_finite_at_uncovered():
     g = jnp.ones((1, 64, 64, 3))
     for ts in (2, 4):
         fac = np.asarray(tex.texture_cell_factors(s, fim, face_w, wm, dm,
-                                                  g, ts))
+                                                  g, ts))            # [1,C,64,64]
         assert np.isfinite(fac).all(), ts
         uncov = np.ones((64, 64), bool)
         uncov[10, 10] = False
-        assert (fac[0][uncov] == 0).all(), ts
-        assert np.abs(fac[0, 10, 10]).sum() > 0, ts
+        assert (fac[0][:, uncov] == 0).all(), ts
+        assert np.abs(fac[0, :, 10, 10]).sum() > 0, ts
 
 
 def test_csr_reduction_matches_global_gradients():
