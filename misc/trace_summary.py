@@ -35,18 +35,29 @@ def main():
                and e['args'].get('name') == 'XLA Ops'
                and e['pid'] in dev_pids}
 
+    # events nest (cond encloses its branch computation, which encloses the
+    # ops inside): attribute SELF time — duration minus enclosed children —
+    # so a cond wrapper shows only its own boundary cost, not its body.
+    spans = [e for e in ev
+             if e.get('ph') == 'X'
+             and (e.get('pid'), e.get('tid')) in op_tids]
+    spans.sort(key=lambda e: (e['ts'], -e.get('dur', 0)))
     tot = collections.Counter()
     cnt = collections.Counter()
-    for e in ev:
-        if e.get('ph') != 'X' or (e.get('pid'), e.get('tid')) not in op_tids:
-            continue
-        name = e['name']
-        tot[name] += e.get('dur', 0)
+    stack = []   # (end_ts, name); children subtract from the parent on top
+    for e in spans:
+        ts, dur, name = e['ts'], e.get('dur', 0), e['name']
+        while stack and stack[-1][0] <= ts:
+            stack.pop()
+        if stack:
+            tot[stack[-1][1]] -= dur
+        tot[name] += dur
         cnt[name] += 1
+        stack.append((ts + dur, name))
 
     total = sum(tot.values())
     print(f'total device op time: {total / 1e3 / args.steps:8.2f} ms/step '
-          f'({len(tot)} distinct ops)')
+          f'({len(tot)} distinct ops, self-time)')
     for name, us in tot.most_common(args.top):
         print(f'{us / 1e3 / args.steps:9.3f} ms/step  x{cnt[name] // args.steps:<3d} '
               f'{name[:110]}')
