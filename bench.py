@@ -247,7 +247,7 @@ def main():
 
     secondary('large_mesh_163k_faces_sil_images_per_sec', run_large)
 
-    print(json.dumps(dict({
+    result = dict({
         'metric': f'images/sec fwd+bwd textured {IMAGE_SIZE}^2 teapot '
                   f'bs{BATCH_SIZE} (default Renderer, no tuning)',
         'value': round(default_ips, 2),
@@ -259,7 +259,47 @@ def main():
         'vs_baseline_range': [
             round(default_ips / REF_ESTIMATE_RANGE[1], 2),
             round(default_ips / REF_ESTIMATE_RANGE[0], 2)],
-    }, **extras)))
+    }, **extras)
+    check_regressions(result)
+    print(json.dumps(result))
+
+
+def check_regressions(result, threshold=0.10):
+    """Compare every numeric metric against the newest recorded round
+    (``BENCH_r*.json``) and print a loud stderr line for any drop beyond
+    ``threshold`` — the r4 approx-AA 356->88 collapse shipped unnoticed
+    precisely because nothing compared rounds.  stderr only: the stdout
+    JSON contract is untouched, and a missing/odd history file never
+    breaks the bench."""
+    try:
+        import glob
+        import re
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = sorted(
+            glob.glob(os.path.join(here, 'BENCH_r*.json')),
+            key=lambda p: int(re.search(r'r(\d+)', os.path.basename(p))
+                              .group(1)))
+        if not rounds:
+            return
+        with open(rounds[-1]) as f:
+            prev = json.load(f).get('parsed', {})
+        cur = dict(result)
+        cur[prev.get('metric', result['metric'])] = result['value']
+        prev = dict(prev, **{prev.get('metric', ''): prev.get('value')})
+        for key, old in prev.items():
+            if not isinstance(old, (int, float)) or isinstance(old, bool):
+                continue
+            if key in ('value', 'vs_baseline',
+                       'baseline_estimate_images_per_sec'):
+                continue
+            new = cur.get(key)
+            if isinstance(new, (int, float)) and old > 0 \
+                    and new < old * (1 - threshold):
+                print(f'# REGRESSION {key}: {old} -> {new} '
+                      f'({100 * (new / old - 1):+.1f}% vs '
+                      f'{os.path.basename(rounds[-1])})', file=sys.stderr)
+    except Exception as e:                              # noqa: BLE001
+        print(f'# regression check skipped: {e!r}', file=sys.stderr)
 
 
 if __name__ == '__main__':

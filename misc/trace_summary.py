@@ -44,9 +44,14 @@ def main():
     spans.sort(key=lambda e: (e['ts'], -e.get('dur', 0)))
     tot = collections.Counter()
     cnt = collections.Counter()
-    stack = []   # (end_ts, name); children subtract from the parent on top
+    # nesting only holds WITHIN one device track — with multiple TPU
+    # tracks (multi-core traces) concurrent spans from different tracks
+    # would otherwise subtract from unrelated parents, so keep one stack
+    # per (pid, tid)
+    stacks = collections.defaultdict(list)  # (pid,tid) -> [(end_ts, name)]
     for e in spans:
         ts, dur, name = e['ts'], e.get('dur', 0), e['name']
+        stack = stacks[(e['pid'], e['tid'])]
         while stack and stack[-1][0] <= ts:
             stack.pop()
         if stack:

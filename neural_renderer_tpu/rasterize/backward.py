@@ -578,8 +578,12 @@ def grad_faces_pixel_map(settings, faces, face_index_map, face_w, rgb_map,
     # the barrier keeps per-pixel producers out of the scatter fusion,
     # whose fused producers lower to scalar loops
     stacked = jax.lax.optimization_barrier(stacked)
-    sums = jax.ops.segment_sum(stacked.reshape(-1, 12), seg_flat,
-                               num_segments=bs * nf + 1)[:-1]
+    # stacked is channel-LEADING [bs, 12, is, is]; segment_sum wants
+    # pixel rows, so transpose channels to the minor axis first (matches
+    # core._bwd's _global_reduce and grad_faces_depth)
+    sums = jax.ops.segment_sum(
+        jnp.transpose(stacked, (0, 2, 3, 1)).reshape(-1, 12), seg_flat,
+        num_segments=bs * nf + 1)[:-1]
     grad = scatter_pixel_channels(sums, bs, nf)
     if extra is not None:
         grad = grad + extra

@@ -418,3 +418,47 @@ def test_outsweep_windowed_fetch_matches_dense():
     np.testing.assert_allclose(g_kernel, g_dense, rtol=1e-4,
                                atol=scale * 1e-5)
     assert np.abs(g_dense).max() > 0
+
+
+def test_grad_faces_pixel_map_matches_fused_path():
+    """grad_faces_pixel_map (the standalone entry point) must equal the
+    production core._bwd fused reduction — pins the stack layout of the
+    standalone path so a channel-leading/channel-minor mismatch between
+    the two reductions (ADVICE r4 high) cannot recur.
+    """
+    from neural_renderer_tpu.rasterize import core
+
+    is_ = 128
+    fc = _scene(is_)
+    bs, nf = fc.shape[:2]
+    s = RasterizeSettings(image_size=is_, return_rgb=False,
+                          return_alpha=True, return_depth=False,
+                          runtime_checks=False)
+    textures = jnp.zeros((bs, nf, 1, 1, 1, 3), jnp.float32)
+    background = jnp.zeros((3,), jnp.float32)
+    ga = jax.random.normal(jax.random.PRNGKey(5), (bs, is_, is_))
+
+    def loss(f):
+        _, alpha, _ = core.rasterize_core(s, f, textures, background)
+        return jnp.sum(alpha * ga)
+
+    g_fused = np.asarray(jax.jit(jax.grad(loss))(fc))
+
+    fim, _ = jax.jit(
+        lambda f: forward_xla.forward_face_index_map(s, f))(fc)
+    face_w = jax.jit(forward_xla.gather_face_rows)(fc, fim)
+    alpha = (fim >= 0).astype(jnp.float32)
+    rgbm = jnp.zeros(alpha.shape + (3,))
+    # inputs must be jit ARGUMENTS, not closure constants: a nullary jit
+    # lets XLA constant-fold the crossing math on the host evaluator,
+    # whose float arithmetic differs from the TPU by ULPs — and K5's
+    # exact d1_in == d1 activation comparisons flip on those ULPs
+    g_standalone = np.asarray(jax.jit(
+        lambda f, i, w, a, g: backward.grad_faces_pixel_map(
+            s, f, i, w, rgbm, a, jnp.zeros_like(rgbm), g))(
+        fc, fim, face_w, alpha, ga))
+
+    scale = np.abs(g_fused).max() + 1e-9
+    assert scale > 1e-6          # non-trivial gradient
+    np.testing.assert_allclose(g_standalone, g_fused, rtol=1e-4,
+                               atol=scale * 1e-5)
