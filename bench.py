@@ -185,9 +185,14 @@ def main():
         tuned = nr.Renderer()
         tuned.image_size = IMAGE_SIZE
         tuned.perf_overrides = dict(runtime_checks=False)
-        overrides = nr.tune(tuned, vertices, faces, eyes=eyes, margin=1.0)
+        # measure=True: overrides install only if they BEAT the default
+        # config on this workload (r4 shipped tuned 251.6 < default 265.1;
+        # a tune() that loses to doing nothing must return the default)
+        overrides = nr.tune(tuned, vertices, faces, eyes=eyes, margin=1.0,
+                            textures=textures, measure=True)
         print(f'# tuned setup (validated over all {len(azimuths)} azimuths):'
-              f' {overrides}', file=sys.stderr)
+              f' {overrides if overrides else "DECLINED (default wins)"}',
+              file=sys.stderr)
 
         def loss_tuned(v, tx, eye):
             tuned.eye = eye

@@ -59,7 +59,8 @@ def measure_scene(settings, face_coords):
     return out
 
 
-def tune(renderer, vertices, faces, eyes=None, margin=1.25):
+def tune(renderer, vertices, faces, eyes=None, margin=1.25, textures=None,
+         measure=False, measure_iters=8):
     """Measure ``renderer``'s workload on a scene over camera poses and set
     ``renderer.perf_overrides`` to provably-exact fast-path capacities.
 
@@ -74,8 +75,24 @@ def tune(renderer, vertices, faces, eyes=None, margin=1.25):
         optimization loop (1.0 = exactly the measured poses).  The
         capacities stay *validated* for the measured poses either way, and
         ``runtime_checks`` warns if a later scene outgrows them.
+      textures: optional ``[bs, nf, ts, ts, ts, 3]`` cubes — with
+        ``measure=True`` the A/B probe then times the textured render
+        (the workload the caller will actually run) instead of
+        silhouettes.
+      measure: A/B-guard the result: time one fwd+bwd step under the
+        tuned overrides against the renderer's current (default) config
+        on ``eyes[0]`` and install the overrides ONLY if they win — the
+        auto fast path has grown strong enough that exact-fit static
+        capacities are not automatically faster (BENCH_r04: tuned 251.6
+        vs default 265.1), and a tune() that loses to doing nothing is
+        worse than a no-op.  Costs two step compiles + ~2 x
+        ``measure_iters`` timed steps.  When the probe says the default
+        wins, the renderer is left untouched and {} is returned.
+      measure_iters: timed dispatches per probe sweep (two sweeps each,
+        best-of, async dispatch with one readback).
 
-    Returns the override dict (also assigned to the renderer).
+    Returns the override dict (also assigned to the renderer), or ``{}``
+    when ``measure=True`` and the tuned config did not beat the default.
     """
     from neural_renderer_tpu.ops.vertices_to_faces import vertices_to_faces
     from neural_renderer_tpu.rasterize.config import RasterizeSettings
@@ -86,7 +103,8 @@ def tune(renderer, vertices, faces, eyes=None, margin=1.25):
         vertices = vertices[None]
     if faces.ndim == 2:
         faces = faces[None]
-    if renderer.fill_back:
+    faces_user = faces          # pre-fill_back: the A/B probe renders
+    if renderer.fill_back:      # through the public API, which fills
         faces = renderer._fill_back_faces(faces)
 
     # anti_aliasing=True renders everything at 2x; 'approx' renders the
@@ -151,6 +169,14 @@ def tune(renderer, vertices, faces, eyes=None, margin=1.25):
         # multi-pass (large-mesh) renders reduce via the global segment_sum
         use_csr = faces.shape[1] <= forward_pallas.slice_size()
 
+        # the compact forward schedule's entry budget — measured at every
+        # render size in play (one knob serves both of 'approx' AA's
+        # passes; schedule_budget clamps at the dense size per pass), with
+        # the tuned cap applied (counts clamp at faces_per_tile_cap)
+        s2sizes = [dataclasses.replace(make_settings(sz),
+                                       faces_per_tile_cap=cap)
+                   for sz in bin_settings]
+
         @jax.jit
         def measure_sweeps(v, eye):
             fc = coords(v, eye)
@@ -158,15 +184,18 @@ def tune(renderer, vertices, faces, eyes=None, margin=1.25):
                 fim, _ = forward_pallas.forward_face_index_map(s2, fc)
             else:
                 fim = forward_xla.forward_face_index_map(s2, fc)[0]
+            chunks = jnp.max(jnp.stack(
+                [forward_pallas.chunks_needed(s, fc) for s in s2sizes]))
             return (backward.count_out_crossings(s2, fc, fim),
                     backward.count_out_crossings(s2, fc, fim, per_row=True),
                     backward.max_out_offset(s2, fc, fim),
                     forward_pallas.csr_rows_needed(s2, fc) if use_csr
-                    else jnp.int32(0))
+                    else jnp.int32(0),
+                    chunks)
 
         for eye in eyes:
-            oc, rc, oo, c = measure_sweeps(vertices,
-                                           jnp.asarray(eye, jnp.float32))
+            oc, rc, oo, c, ch = measure_sweeps(vertices,
+                                               jnp.asarray(eye, jnp.float32))
             worst['out_crossings'] = max(worst.get('out_crossings', 0),
                                          int(np.asarray(oc)))
             worst['row_crossings'] = max(worst.get('row_crossings', 0),
@@ -175,6 +204,8 @@ def tune(renderer, vertices, faces, eyes=None, margin=1.25):
                                       int(np.asarray(oo)))
             worst['csr_rows'] = max(worst.get('csr_rows', 0),
                                     int(np.asarray(c)))
+            worst['chunks'] = max(worst.get('chunks', 0),
+                                  int(np.asarray(ch)))
     finally:
         renderer.eye = saved_eye
 
@@ -185,6 +216,12 @@ def tune(renderer, vertices, faces, eyes=None, margin=1.25):
         faces_per_tile_cap=up(worst['binned_faces'], 128),
         grad_out_cap=up(worst['out_crossings'], 1024),
         grad_offset_radius=worst['out_offset'] + 1,
+        # keep the compact (patch, chunk) forward grid: an explicit
+        # faces_per_tile_cap alone would drop the forward onto the dense
+        # patches x capacity schedule (schedule_budget guards lean budgets
+        # behind the auto path's cond) — measured as the tuned path's main
+        # loss vs default in r4 (251.6 vs 265.1 img/s)
+        forward_chunk_budget=up(worst['chunks'], 64),
     )
     if worst['csr_rows']:
         # csr_base requires >= 2 chunks (data + dump)
@@ -195,5 +232,54 @@ def tune(renderer, vertices, faces, eyes=None, margin=1.25):
         # measured worst row instead of losing the kernel entirely.  Cost
         # scales only in skipped grid steps for sparser rows.
         overrides['grad_row_cap'] = up(worst['row_crossings'], 64)
+
+    if measure:
+        import time
+
+        def probe(install):
+            prev = dict(renderer.perf_overrides)
+            if install:
+                renderer.perf_overrides = dict(prev, **overrides)
+            try:
+                if textures is None:
+                    def loss(v, eye):
+                        renderer.eye = eye
+                        return jnp.sum(
+                            renderer.render_silhouettes(v, faces_user))
+                    fn = jax.jit(jax.value_and_grad(loss))
+                    args = (vertices,)
+                else:
+                    def loss(v, tx, eye):
+                        renderer.eye = eye
+                        return jnp.sum(renderer.render(v, faces_user, tx))
+                    fn = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+                    args = (vertices, jnp.asarray(textures, jnp.float32))
+                eye0 = jnp.asarray(eyes[0], jnp.float32)
+                out = fn(*args, eye0)                 # compile + warm
+                _ = np.asarray(jax.tree.leaves(out)[0].ravel()[0])
+                best = float('inf')
+                for _sweep in range(2):               # best-of-2 (noise)
+                    t0 = time.perf_counter()
+                    for _i in range(measure_iters):
+                        out = fn(*args, eye0)
+                    _ = np.asarray(jax.tree.leaves(out)[0].ravel()[0])
+                    best = min(best,
+                               (time.perf_counter() - t0) / measure_iters)
+                return best
+            finally:
+                renderer.eye = saved_eye
+                renderer.perf_overrides = prev
+
+        t_default = probe(install=False)
+        t_tuned = probe(install=True)
+        if not t_tuned < t_default:
+            import warnings
+            warnings.warn(
+                f'nr.tune: measured step {t_tuned * 1e3:.2f} ms under the '
+                f'tuned capacities vs {t_default * 1e3:.2f} ms default — '
+                'the default (auto fast path) already wins on this scene; '
+                'leaving the renderer untuned.')
+            return {}
+
     renderer.perf_overrides = dict(renderer.perf_overrides, **overrides)
     return overrides
