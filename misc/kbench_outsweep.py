@@ -88,11 +88,13 @@ def main():
         lambda x: jax.block_until_ready(x) if False else x, prep(vertices))
     _ = np.asarray(alpha.ravel()[0])
 
-    def out_axis(a):
+    def out_axis(a, compact=False):
         def f(ppx, ppy, alpha, s1, ga, grgb, rgb):
-            six, rw = backward_pallas.outsweep_channels(
-                s, a, ppx, ppy, alpha, s1, ga, grgb, rgb, row_cap=256)
-            return sum(jnp.sum(x) for x in six) + rw
+            out = backward_pallas.outsweep_channels(
+                s, a, ppx, ppy, alpha, s1, ga, grgb, rgb, row_cap=256,
+                compact=compact)
+            six, rw = out[0], out[1]
+            return jnp.sum(six) + rw
         return jax.jit(f)
 
     def in_axis(a):
@@ -102,12 +104,15 @@ def main():
         def f(ppx, ppy, alpha, ga, rgb, grgb):
             six, ow = backward_pallas.insweep_channels(
                 s_in, a, ppx, ppy, alpha, ga, rgb, grgb)
-            return sum(jnp.sum(x) for x in six) + ow
+            return jnp.sum(six) + ow
         return jax.jit(f)
 
     args = (ppx, ppy, alpha, s1, ga, grgb, rgb)
     t0 = timeit('outsweep axis 0', out_axis(0), *args)
     t1 = timeit('outsweep axis 1', out_axis(1), *args)
+    c0 = timeit('outsweep axis 0 COMPACT', out_axis(0, True), *args)
+    c1 = timeit('outsweep axis 1 COMPACT', out_axis(1, True), *args)
+    print(f'{"outsweep compact total":<52s} {(c0 + c1) * 1e3:8.1f} ms')
     i0 = timeit('insweep axis 0', in_axis(0), ppx, ppy, alpha, ga, rgb, grgb)
     i1 = timeit('insweep axis 1', in_axis(1), ppx, ppy, alpha, ga, rgb, grgb)
     print(f'{"outsweep total":<52s} {(t0 + t1) * 1e3:8.1f} ms')

@@ -38,7 +38,12 @@ import jax.numpy as jnp
 
 from neural_renderer_tpu.rasterize import checks, geometry
 
-_EA = [(e, a) for e in range(3) for a in range(2)]
+# (edge, axis) walk order — AXIS-major so the 12-channel K5 stacks are the
+# two Pallas sweep kernels' native per-axis channel blocks concatenated
+# (each kernel emits [bs, 6, is, is] = (c0, c1) x 3 edges for ONE axis);
+# every consumer maps channels through _EA.index, so the order is free to
+# choose and axis-major kills a 12-plane interleave relayout per stack
+_EA = [(e, a) for a in range(2) for e in range(3)]
 
 
 def _warn_out_cap(count, cap):
@@ -285,8 +290,13 @@ def _auto_channels(settings, faces, face_index_map, face_w, rgb_map,
     radius = rconfig.auto_offset_radius(is_)
     s_in = dataclasses.replace(settings, grad_offset_radius=radius)
 
-    # speculative kernel runs; each reports its own worst-case stat
-    in_chans = [None] * 6
+    # speculative kernel runs; each reports its own worst-case stat.
+    # channel-LEADING stacks ([bs, 12, is, is]): the fused reduction's
+    # consumers (the CSR partial kernel, the channel slicing) all run on
+    # channel-leading layouts, and each kernel natively emits its axis's
+    # [bs, 6, is, is] block in _EA's axis-major channel order — the
+    # 12-channel stack is a pure concat, no interleave relayout
+    in6 = []
     off_worst = None
     for a in (0, 1):
         six, ow = backward_pallas.insweep_channels(
@@ -294,32 +304,27 @@ def _auto_channels(settings, faces, face_index_map, face_w, rgb_map,
             rgb_map if settings.return_rgb else None,
             grad_rgb_map if settings.return_rgb else None)
         off_worst = ow if off_worst is None else jnp.maximum(off_worst, ow)
-        for e in range(3):
-            in_chans[_EA.index((e, a))] = (six[2 * e], six[2 * e + 1])
-    # channel-LEADING stacks ([bs, 12, is, is]): the fused reduction's
-    # consumers (the CSR partial kernel, the channel slicing) all run on
-    # channel-leading layouts — stacking on axis=1 here means the guard
-    # conds below emit exactly that layout, instead of XLA inserting a
-    # 1.2 ms full-stack relayout copy per cond at 512^2 bs32 (traced r4)
-    in12k = jnp.stack([c for pair in in_chans for c in pair], axis=1)
+        in6.append(six)
+    in12k = jnp.concatenate(in6, axis=1)
 
     s1_map = jnp.zeros_like(alpha_map)
     if settings.return_alpha:
         s1_map = s1_map + alpha_map * grad_alpha_map
     if settings.return_rgb:
         s1_map = s1_map + jnp.sum(rgb_map * grad_rgb_map, axis=-1)
-    out_chans = [None] * 6
+    out6 = []
     row_worst = None
+    out_fits = None
     for a in (0, 1):
-        six, rw = backward_pallas.outsweep_channels(
+        six, rw, fits = backward_pallas.outsweep_channels(
             settings, a, ppx, ppy, alpha_map, s1_map, grad_alpha_map,
             grad_rgb_map if settings.return_rgb else None,
             rgb_map if settings.return_rgb else None,
-            row_cap=settings.grad_row_cap)
+            row_cap=settings.grad_row_cap, compact=True)
         row_worst = rw if row_worst is None else jnp.maximum(row_worst, rw)
-        for e in range(3):
-            out_chans[_EA.index((e, a))] = (six[2 * e], six[2 * e + 1])
-    out12k = jnp.stack([c for pair in out_chans for c in pair], axis=1)
+        out_fits = fits if out_fits is None else out_fits & fits
+        out6.append(six)
+    out12k = jnp.concatenate(out6, axis=1)
 
     def in_xla(_):
         chans = []
@@ -362,7 +367,7 @@ def _auto_channels(settings, faces, face_index_map, face_w, rgb_map,
         return jnp.stack([c for pair in chans for c in pair], axis=1)
 
     in12 = jax.lax.cond(off_worst <= radius, lambda _: in12k, in_xla, 0)
-    out12 = jax.lax.cond(row_worst <= settings.grad_row_cap,
+    out12 = jax.lax.cond((row_worst <= settings.grad_row_cap) & out_fits,
                          lambda _: out12k, out_dense, 0)
     return in12 + out12, None
 
@@ -419,7 +424,7 @@ def pixel_map_channels(settings, faces, face_index_map, face_w, rgb_map,
             # the runtime_checks warning needs no dense recompute
             worst_offset = jnp.maximum(worst_offset, ow.astype(jnp.float32))
             for e in range(3):
-                kernel_in[(e, a)] = (six[2 * e], six[2 * e + 1])
+                kernel_in[(e, a)] = (six[:, 2 * e], six[:, 2 * e + 1])
 
     # Out-sweep Pallas kernel: fuses discovery, per-row record compaction,
     # and the border sweep — replaces the XLA mask compaction + chunked
@@ -512,7 +517,7 @@ def pixel_map_channels(settings, faces, face_index_map, face_w, rgb_map,
             for e in range(3):
                 idx = _EA.index((e, a))
                 c0, c1 = contribs[idx]
-                contribs[idx] = (c0 + six[2 * e], c1 + six[2 * e + 1])
+                contribs[idx] = (c0 + six[:, 2 * e], c1 + six[:, 2 * e + 1])
         if need_checks:
             checks.maybe_callback(_warn_row_cap, row_overflow,
                                   jnp.int32(settings.grad_row_cap))

@@ -65,16 +65,19 @@ def _rows_per_block(is_):
     return is_
 
 
-def _kernel(settings, dir_lt, radius, rows, is_,
-            xs0, xs1, xs2, ys0, ys1, ys2, alpha, ga, *rest_and_outs):
-    """One axis of the in-sweep.  xs*/ys* are the walk-frame pixel-space
-    vertex coords of each pixel's own face; alpha doubles as the coverage
-    mask (it is exactly 1.0 on covered pixels pre-AA)."""
-    use_rgb = settings.return_rgb
-    use_alpha = settings.return_alpha
-    rgb = rest_and_outs[:3] if use_rgb else ()
-    grgb = rest_and_outs[3:6] if use_rgb else ()
-    outs = rest_and_outs[6:-3] if use_rgb else rest_and_outs[:-3]
+def _kernel(settings, dir_lt, radius, rows, is_, nch,
+            in_ref, out_ref, stat_ref, *acc_refs):
+    """One axis of the in-sweep.
+
+    All per-pixel maps arrive as ONE stacked input ([1, nin, rows, is]
+    block of a [bs, nin, is, is] array): plane order xs0-2, ys0-2, alpha
+    (the coverage mask — always present), then the nch value planes
+    (alpha again when return_alpha [, rgb x3]), then their nch grad
+    planes.  One strided DMA per block visit replaces nin separate 32 KB
+    block fetches — the per-transfer setup of 14 small DMAs per visit was
+    the measured floor of this kernel (NOTES r5).  Channels emit into one
+    [bs, 6, is, is] stacked output ((c0, c1) x 3 edges, the _EA axis-major
+    block)."""
     eps = settings.eps
 
     i = pl.program_id(1)
@@ -84,22 +87,18 @@ def _kernel(settings, dir_lt, radius, rows, is_,
     d1 = jax.lax.broadcasted_iota(jnp.int32, (rows, is_), 1).astype(
         jnp.float32)
 
-    av = alpha[0]
-    gav = ga[0]
+    xs = [in_ref[0, k] for k in range(3)]
+    ys = [in_ref[0, 3 + k] for k in range(3)]
+    av = in_ref[0, 6]                       # coverage plane
     covered = av >= 0.5
-    xs = [xs0[0], xs1[0], xs2[0]]
-    ys = [ys0[0], ys1[0], ys2[0]]
-    # values whose out-pixel version dg needs, and their grad factors at q
-    planes = []
-    grads = []
-    if use_alpha:
-        planes.append(av)
-        grads.append(gav)
-    if use_rgb:
-        planes += [r[0] for r in rgb]
-        grads += [g[0] for g in grgb]
-    s1 = sum(p * g for p, g in zip(planes, grads))
-    nch = len(planes)
+    # the nch value planes and their grads, contiguous in the stack: the
+    # roll chain consumes them as single [nch*rows, is] slabs (the leading
+    # dims collapse is layout-free — sublane-tiled rows stay in place)
+    stacked_v = in_ref[0, 7:7 + nch].reshape(nch * rows, is_)
+    stacked_g = in_ref[0, 7 + nch:7 + 2 * nch].reshape(nch * rows, is_)
+    s1 = jnp.zeros((rows, is_), jnp.float32)
+    for cch in range(nch):
+        s1 = s1 + in_ref[0, 7 + cch] * in_ref[0, 7 + nch + cch]
 
     # phase A: per-edge crossing math (reference rasterize.py:567-579,
     # 663-670; same op order as backward._crossing / _in_limit)
@@ -157,9 +156,6 @@ def _kernel(settings, dir_lt, radius, rows, is_,
     # CHUNK steps, each guarded by pl.when(dmax >= chunk base): interior
     # blocks pay ~15 steps instead of 2R+1, and the cost scales with the
     # scene's actual offsets instead of the static radius.
-    stacked_v = (jnp.concatenate(planes, axis=0) if nch > 1 else planes[0])
-    stacked_g = (jnp.concatenate(grads, axis=0) if nch > 1 else grads[0])
-    acc_refs = rest_and_outs[-3:]          # VMEM scratch accumulators
     for e in range(3):
         acc_refs[e][...] = jnp.zeros((rows, is_), jnp.float32)
 
@@ -196,7 +192,7 @@ def _kernel(settings, dir_lt, radius, rows, is_,
     # (free: phase A already computed delta).  The auto fast path compares
     # the max against the radius and falls back to the exact XLA gather
     # when this speculative run would have dropped work.
-    outs[6][0] = jnp.broadcast_to(
+    stat_ref[0] = jnp.broadcast_to(
         jnp.max(ov, axis=1, keepdims=True), (rows, _LANE))
 
     # phase C: dg gating + the two -dg/dist terms
@@ -214,13 +210,24 @@ def _kernel(settings, dir_lt, radius, rows, is_,
             dist = jnp.where(dist > 0, dist + eps, dist - eps)
             return -dg / dist
 
-        outs[2 * e][0] = jnp.where(act_in & gate & (X1 != d0),
-                                   one(X1 - X0, X1 - d0), 0.0)
-        outs[2 * e + 1][0] = jnp.where(act_in & gate & (X0 != d0),
-                                       one(X1 - X0, d0 - X0), 0.0)
+        out_ref[0, 2 * e] = jnp.where(act_in & gate & (X1 != d0),
+                                      one(X1 - X0, X1 - d0), 0.0)
+        out_ref[0, 2 * e + 1] = jnp.where(act_in & gate & (X0 != d0),
+                                          one(X1 - X0, d0 - X0), 0.0)
 
 
 _KS = 64            # out-sweep record slots per chunk
+# Fetch/sweep tile granularity.  16/32 measured WORSE than 64 (r5): the
+# one-hot record fetch is MXU-padded to the same tiles regardless of slot
+# count, so finer tiles multiply dispatch overhead without shrinking the
+# dominant math.  Keep 64 (= one tile per chunk); the env knob remains for
+# ablation only.
+_SUB = int(os.environ.get('NR_OS_SUB', 64))
+# Phase ablation for kernel-time attribution (misc/kbench_outsweep.py):
+# 'zero' = grid+DMA+output zeroing only; 'disc' = + discovery;
+# 'fetch' = + record fetch (tail replaced by a flat accumulate).
+# Results are WRONG under any setting — timing harnesses only.
+_ABLATE = os.environ.get('NR_OS_ABLATE', '')
 _WINT = 2           # fetch-window width in 128-lane tiles (per edge)
 _KCLAMP = 1e14      # |k| cap: keeps dist0 * dist1 finite in the sweep
 
@@ -235,37 +242,86 @@ def _lane_prefix(x, is_):
     return x
 
 
+def _compact_schedule(nch, budget):
+    """Compact (block, chunk) schedule over per-block chunk counts ``nch``
+    (0 = block unvisited): entry c -> block ``pb[c]``, chunk ``kofs[c]``
+    (-1 past the total — the kernel no-ops those).  Same scatter+cumsum
+    construction as the forward's ``chunk_schedule`` but WITHOUT the
+    one-entry-per-block floor: out-sweep blocks with no records are never
+    visited at all (their output stays zero via input_output_aliasing of
+    a zero-filled buffer)."""
+    ends = jnp.cumsum(nch)
+    total = ends[-1]
+    base = (ends - nch).astype(jnp.int32)
+    bc = jnp.minimum(base, budget - 1)
+    ci = jnp.arange(budget, dtype=jnp.int32)
+    # zero-chunk blocks share their base with the next block; the
+    # (count of bases <= ci) - 1 rule then resolves to the LAST sharer —
+    # the block that actually owns the entries
+    marks = jnp.zeros((budget,), jnp.int32).at[bc].add(1, mode='drop')
+    pb = jnp.cumsum(marks) - 1
+    bvals = jnp.zeros((budget,), jnp.int32).at[bc].max(base, mode='drop')
+    kofs = jnp.where(ci < total, ci - jax.lax.cummax(bvals), -1)
+    pb = jnp.clip(pb, 0, nch.shape[0] - 1).astype(jnp.int32)
+    # no-op tail entries (ci >= total) must map to the LAST visited block:
+    # a trailing zero-count block's base == total scatters a mark there,
+    # so the raw cumsum would point tails at an unvisited block — whose
+    # final VMEM flush then clobbers the aliased zero buffer with stale
+    # content.  Re-flushing the last real block is idempotent instead.
+    pb = jnp.where(ci < jnp.maximum(total, 1),
+                   pb, pb[jnp.maximum(total - 1, 0)])
+    return pb, kofs.astype(jnp.int32), total
+
+
 def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
-                     pk_ref, *refs):
+                     compact, nblk, *refs):
     """Out-sweep (reference rasterize.py:603-659): discovery, per-row
     record compaction, and the border sweep — one fused pass.
 
     Grid (bs, is/rows, kc).  Chunk 0 rasterizes the crossing math for all
     3 edges, ranks each row's active crossings with a lane prefix sum, and
     caches per-record attributes in VMEM as one [na, 3*is] matrix per row
-    (edges segmented along lanes) so every later chunk fetches its 64
-    records with a single one-hot MXU contraction — no per-chunk
-    concatenation or rebuild.
+    (edges segmented along lanes) so every later chunk fetches its records
+    with a single one-hot MXU contraction — no per-chunk concatenation or
+    rebuild.  The fetch + border sweep run in _SUB-record sub-chunks, each
+    guarded by the row's prefetched count: a typical row hosts well under
+    _KS records, so the [slots, is] sweep math scales with the row's
+    actual crossings instead of paying the full 64-slot tile (measured
+    ~12 ms/step of tail math at 512^2 bs32 before sub-chunking).
+
+    All per-pixel maps arrive as ONE stacked input ([1, nin, rows, is]
+    block; plane order xs0-2, ys0-2, alpha, s1, ga [, grgb x3, rgb x3]) —
+    one strided DMA per block visit instead of nin separate 32 KB fetches
+    (the 15-DMA setup train was the claimed "DMA floor" of r4's notes).
 
     All per-row SCALARS (record counts, the fetch-window tile bases, the
     window-fits flag) arrive packed in the scalar-prefetched ``pk_ref``,
     computed by an XLA pre-pass (``_outsweep_rowinfo``) — extracting them
     from vectors inside the kernel cost ~135 ns per vector->scalar move,
     ~22 ms/step at 512^2 bs32 (the dominant kernel cost, measured by
-    ablation).  Blocks whose 8 rows host no record skip discovery wholly.
+    ablation).  Blocks whose rows host no record skip discovery wholly.
 
     The crossing pixel r is covered by construction, so a_in == 1 exactly
     and dg(r, q') = S1(q') - ga(q') - sum_c rgb_in_c(r) * grgb_c(q').
     """
     eps = settings.eps
-    nin = 9 + (6 if with_rgb else 0)
     na = 9 + (3 if with_rgb else 0)   # attr rows: 7 per-edge + xpos + eid
-    (xs_refs, ys_refs) = (refs[0:3], refs[3:6])
-    alpha_ref, s1_ref, ga_ref = refs[6:9]
-    grgb_refs = refs[9:12] if with_rgb else ()
-    rgb_refs = refs[12:15] if with_rgb else ()
-    out_ref = refs[nin]
-    rank_ref, attr_ref = refs[nin + 1:nin + 3]
+    if compact:
+        # compact schedule: 1-D grid over the scene's (block, chunk)
+        # entries; unvisited blocks keep the aliased zero buffer.  The
+        # zeros operand itself is never read (minimal const block spec).
+        (pk_ref, pb_ref, kofs_ref, in_ref, _zeros_ref, out_ref,
+         rank_ref, attr_ref) = refs
+        ce = pl.program_id(0)
+        pt = pb_ref[ce]
+        c = kofs_ref[ce]
+        b = pt // nblk
+        i = pt % nblk
+    else:
+        pk_ref, in_ref, out_ref, rank_ref, attr_ref = refs
+        b = pl.program_id(0)
+        c = pl.program_id(2)
+        i = pl.program_id(1)
 
     # windowed fetch: a (row, edge)'s active crossings cluster in the
     # object's x-range — when each edge's span fits _WINT lane-tiles, the
@@ -275,10 +331,6 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
     # the span check yet fall outside the clipped window (supported_outsweep
     # already requires is_ % 128 == 0 — this gate is belt-and-suspenders)
     windowed = is_ % _LANE == 0 and is_ >= _WINT * 2 * _LANE
-
-    b = pl.program_id(0)
-    c = pl.program_id(2)
-    i = pl.program_id(1)
 
     def pk(r):
         """Packed per-row scalars (see _outsweep_rowinfo for the layout)."""
@@ -295,16 +347,24 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
     d1i = jax.lax.broadcasted_iota(jnp.int32, (rows, is_), 1)
     d1 = d1i.astype(jnp.float32)
 
-    @pl.when(c == 0)
+    # (compact: entry 0 must zero even as a no-op tail — with zero total
+    # entries the out VMEM buffer is otherwise flushed uninitialized)
+    zero_cond = (c == 0) if not compact else (c == 0) | (pl.program_id(0)
+                                                         == 0)
+
+    @pl.when(zero_cond)
     def _zero():
         out_ref[...] = jnp.zeros_like(out_ref[...])
 
+    if _ABLATE == 'zero':
+        return
+
     @pl.when((c == 0) & (blk_any > 0))
     def _discover():
-        av = alpha_ref[0]
+        av = in_ref[0, 6]
         covered = av >= 0.5
-        xs = [r[0] for r in xs_refs]
-        ys = [r[0] for r in ys_refs]
+        xs = [in_ref[0, k] for k in range(3)]
+        ys = [in_ref[0, 3 + k] for k in range(3)]
 
         counts = []
         for e in range(3):
@@ -353,7 +413,7 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
             attr_ref[:, 6, sl] = g1           # g0 via k0 != 0
             if with_rgb:
                 for cch in range(3):
-                    attr_ref[:, 9 + cch, sl] = rgb_refs[cch][0]
+                    attr_ref[:, 9 + cch, sl] = in_ref[0, 12 + cch]
 
             prefix = _lane_prefix(act.astype(jnp.int32), is_)
             count_e = jnp.max(prefix, axis=1, keepdims=True)
@@ -374,31 +434,39 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
                                                 else rank + off)
             off = count_e if off is None else off + count_e
 
+    if _ABLATE == 'disc':
+        return
+
     qi = jax.lax.broadcasted_iota(jnp.int32, (1, is_), 1)
     qf = qi.astype(jnp.float32)
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (_KS, 1), 0)
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (_SUB, 1), 0)
 
     for r in range(rows):
         def _sweep_tail(r, rec):
+            if _ABLATE == 'fetch':
+                # keep the fetch live, replace the border sweep with a
+                # flat accumulate (timing attribution only)
+                out_ref[0, :, r, :] = out_ref[0, :, r, :] + jnp.sum(rec)
+                return
             def col(j):
-                return rec[:, j:j + 1]                       # [_KS, 1]
+                return rec[:, j:j + 1]                       # [_SUB, 1]
 
             d1c, lo, hi, k0, k1, g1 = (col(j) for j in range(1, 7))
             xr, er = col(7), col(8)
 
-            s1_row = s1_ref[0][r:r + 1, :]
+            s1_row = in_ref[0, 7][r:r + 1, :]
             # a_in == 1 exactly at crossings, so the alpha term of
             # dg = (a(q') - a_in) * ga(q') is s1's alpha part minus ga
-            dg = (s1_row - ga_ref[0][r:r + 1, :] if settings.return_alpha
-                  else s1_row)
+            dg = (s1_row - in_ref[0, 8][r:r + 1, :]
+                  if settings.return_alpha else s1_row)
             if with_rgb:
                 for cch in range(3):
-                    dg = dg - col(9 + cch) * grgb_refs[cch][0][r:r + 1, :]
+                    dg = dg - col(9 + cch) * in_ref[0, 9 + cch][r:r + 1, :]
 
             # gated dg: relu applies the reference's diff_grad > 0 gate
             # (dg == 0 contributes exactly 0 either way), the range select
             # the sweep interval.  Per-record gates (slot validity, the
-            # X != d0 masks) move to the [_KS, 1] sums below — empty slots
+            # X != d0 masks) move to the [_SUB, 1] sums below — empty slots
             # fetch all-zero attrs, so k0 == 0 / g1 == 0 kills them there.
             rng = (qf >= lo) & (qf <= hi)
             dgm = jnp.where(rng, jnp.maximum(dg, 0.0), 0.0)
@@ -422,11 +490,11 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
             c1 = jnp.where(g1 > 0, c1, 0.0)
 
             # scatter every record's (c0, c1) to its in-pixel lane for its
-            # (edge, k) plane — ONE [6 x _KS] x [_KS x is] contraction
+            # (edge, k) plane — ONE [6 x _SUB] x [_SUB x is] contraction
             ohx = (qi == xr.astype(jnp.int32)).astype(jnp.float32)
             cv6 = jnp.concatenate(
                 [(c0 if kk == 0 else c1) * (er == e)
-                 for e in range(3) for kk in (0, 1)], axis=1)  # [_KS, 6]
+                 for e in range(3) for kk in (0, 1)], axis=1)  # [_SUB, 6]
             row_add = jax.lax.dot_general(
                 cv6, ohx, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -437,44 +505,47 @@ def _outsweep_kernel(settings, dir_lt, rows, is_, with_rgb, kc,
             # reshape/transpose unshuffle at 512^2 bs32 (traced r4)
             out_ref[0, :, r, :] = out_ref[0, :, r, :] + row_add
 
-        live = c * _KS < cnts[r]
-        if windowed:
-            wok = (pk(r) >> 14) & 1
+        # _SUB-record sub-chunks, each alive only while the row still has
+        # records past its base: a row with n crossings pays
+        # ceil(n/_SUB) fetch+sweep tiles instead of kc full-_KS ones
+        wok = (pk(r) >> 14) & 1 if windowed else None
+        for sc in range(_KS // _SUB):
+            base = c * _KS + sc * _SUB
+            # (c >= 0 guards the compact schedule's no-op tail entries)
+            live = (c >= 0) & (base < cnts[r])
 
-            @pl.when(live & (wok == 1))
-            def _sweep_win(r=r):
-                rec = None
-                for e in range(3):
-                    tlo = (pk(r) >> (15 + 5 * e)) & 31
-                    sl = pl.ds(e * is_ + tlo * _LANE, _WINT * _LANE)
-                    ohw = (rank_ref[r:r + 1, sl]
-                           == c * _KS + slot_iota).astype(jnp.float32)
-                    d = jax.lax.dot_general(
-                        ohw, attr_ref[r, :, sl], (((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)  # [_KS, na]
-                    rec = d if rec is None else rec + d
-                _sweep_tail(r, rec)
-
-            @pl.when(live & (wok == 0))
-            def _sweep_full(r=r):
-                oh = (rank_ref[r:r + 1, :] == c * _KS + slot_iota).astype(
-                    jnp.float32)                             # [_KS, 3*is]
-                rec = jax.lax.dot_general(
+            def _fetch_full(r=r, base=base):
+                oh = (rank_ref[r:r + 1, :] == base + slot_iota).astype(
+                    jnp.float32)                             # [_SUB, 3*is]
+                return jax.lax.dot_general(
                     oh, attr_ref[r], (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)     # [_KS, na]
-                _sweep_tail(r, rec)
-        else:
-            @pl.when(live)
-            def _sweep(r=r):
-                oh = (rank_ref[r:r + 1, :] == c * _KS + slot_iota).astype(
-                    jnp.float32)                             # [_KS, 3*is]
-                rec = jax.lax.dot_general(
-                    oh, attr_ref[r], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST)     # [_KS, na]
-                _sweep_tail(r, rec)
+                    precision=jax.lax.Precision.HIGHEST)     # [_SUB, na]
+
+            if windowed:
+                @pl.when(live & (wok == 1))
+                def _sweep_win(r=r, base=base):
+                    rec = None
+                    for e in range(3):
+                        tlo = (pk(r) >> (15 + 5 * e)) & 31
+                        sl = pl.ds(e * is_ + tlo * _LANE, _WINT * _LANE)
+                        ohw = (rank_ref[r:r + 1, sl]
+                               == base + slot_iota).astype(jnp.float32)
+                        d = jax.lax.dot_general(
+                            ohw, attr_ref[r, :, sl],
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+                        rec = d if rec is None else rec + d
+                    _sweep_tail(r, rec)
+
+                @pl.when(live & (wok == 0))
+                def _sweep_full(r=r, base=base, f=_fetch_full):
+                    _sweep_tail(r, f())
+            else:
+                @pl.when(live)
+                def _sweep(r=r, base=base, f=_fetch_full):
+                    _sweep_tail(r, f())
 
 
 def _outsweep_rowinfo(settings, dir_lt, xs, ys, alpha_map):
@@ -547,16 +618,27 @@ def _outsweep_rowinfo(settings, dir_lt, xs, ys, alpha_map):
 
 def outsweep_channels(settings, a, ppx, ppy, alpha_map, s1_map,
                       grad_alpha_map, grad_rgb_map=None, rgb_map=None,
-                      row_cap=256, interpret=False):
+                      row_cap=256, interpret=False, compact=False):
     """Out-sweep contribution channels for one walk axis, written at each
     crossing's in-pixel (same attribution as the dense path).
 
-    Returns ([6 maps [bs, is, is]: (c0, c1) per edge], row_worst) where
-    row_worst is the max active crossing count in any single row — the
-    scene's actual row-capacity requirement, measured by the rowinfo
-    pre-pass.  Exact iff row_worst <= row_cap — validate with
-    ``backward.count_out_crossings(..., per_row=True)`` or compare the
-    returned stat (the auto fast path conds on it)."""
+    Returns (channels [bs, 6, is, is] — (c0, c1) per edge, the _EA
+    axis-major block — and row_worst, the max active crossing count in
+    any single row: the scene's actual row-capacity requirement, measured
+    by the rowinfo pre-pass).  Exact iff row_worst <= row_cap — validate
+    with ``backward.count_out_crossings(..., per_row=True)`` or compare
+    the returned stat (the auto fast path conds on it).
+
+    compact=True: iterate a compact (block, chunk) entry list instead of
+    the dense (bs, is/rows, kc) grid — a dense grid step costs ~1.8 us of
+    Mosaic machinery even when every row no-ops (measured: the 'zero'
+    kernel ablation = 8.5 ms of the 22 ms axis at 512^2 bs32), and most
+    blocks of a real scene host no records or need one chunk of the
+    row_cap's four.  Unvisited blocks' outputs stay zero via
+    input_output_aliasing of a zero buffer.  Returns a third value
+    ``fits`` (the scene's entry total <= the static budget, bs * nblocks)
+    — exact iff fits; the caller MUST cond on it (entries past the budget
+    are dropped), as the auto path does alongside row_worst."""
     is_ = settings.image_size
     bs = alpha_map.shape[0]
     # 16-row blocks halve the per-block DMA/discovery count (measured
@@ -566,55 +648,113 @@ def outsweep_channels(settings, a, ppx, ppy, alpha_map, s1_map,
     with_rgb = settings.return_rgb
     kc = -(-row_cap // _KS)
 
-    def tr(m):
-        return m.transpose(0, 2, 1) if a == 0 else m
-
     if a == 0:
-        xs = [tr(ppx[..., k]) for k in range(3)]
-        ys = [tr(ppy[..., k]) for k in range(3)]
+        xs = [ppx[..., k] for k in range(3)]
+        ys = [ppy[..., k] for k in range(3)]
         dir_lt = -1.0
     else:
         xs = [ppy[..., k] for k in range(3)]
         ys = [ppx[..., k] for k in range(3)]
         dir_lt = 1.0
 
-    alpha_w = tr(alpha_map)
-    packed, row_worst = _outsweep_rowinfo(settings, dir_lt, xs, ys, alpha_w)
-
-    inputs = xs + ys + [alpha_w, tr(s1_map), tr(grad_alpha_map)]
+    # ONE stacked input (kernel plane order: xs, ys, alpha, s1, ga
+    # [, grgb, rgb]) — the stack build fuses the walk-frame transpose for
+    # a=0, and the kernel pays one strided DMA per block visit instead of
+    # 9/15 separate 32 KB fetches (the r4 "DMA floor")
+    planes = xs + ys + [alpha_map, s1_map, grad_alpha_map]
     if with_rgb:
-        inputs += [tr(grad_rgb_map[..., c]) for c in range(3)]
-        inputs += [tr(rgb_map[..., c]) for c in range(3)]
+        planes += [grad_rgb_map[..., c] for c in range(3)]
+        planes += [rgb_map[..., c] for c in range(3)]
+    stacked = jnp.stack(planes, axis=1)
+    if a == 0:
+        stacked = stacked.transpose(0, 1, 3, 2)
+    nin = stacked.shape[1]
 
+    # the rowinfo pre-pass rederives activity in the walk frame
+    xs_w = [stacked[:, k] for k in range(3)]
+    ys_w = [stacked[:, 3 + k] for k in range(3)]
+    packed, row_worst = _outsweep_rowinfo(settings, dir_lt, xs_w, ys_w,
+                                          stacked[:, 6])
+
+    nblk = is_ // rows
     kernel = functools.partial(_outsweep_kernel, settings, dir_lt, rows,
-                               is_, with_rgb, kc)
-    spec = pl.BlockSpec((1, rows, is_), lambda b, i, c, pk: (b, i, 0))
+                               is_, with_rgb, kc, compact, nblk)
+    from jax.experimental.pallas import tpu as pltpu
+    scratch = [
+        pltpu.VMEM((rows, 3 * is_), jnp.int32),
+        pltpu.VMEM((rows, 9 + (3 if with_rgb else 0), 3 * is_),
+                   jnp.float32),
+    ]
+    out_shape = [_out_struct((bs, 6, is_, is_), jnp.float32, alpha_map)]
+    if compact:
+        # per-block chunk entries: ceil(min(worst row, row_cap) / _KS),
+        # 0 for blocks hosting no record at all
+        cnt_rows = (packed & 0x3FFF).reshape(bs * nblk, rows)
+        blkmax = jnp.minimum(cnt_rows.max(axis=1), row_cap)
+        nch = (blkmax + _KS - 1) // _KS
+        budget = bs * nblk
+        pb, kofs, total = _compact_schedule(nch, budget)
+        fits = total <= budget
+
+        def blk(ce, pk, pb, kofs):
+            pt = pb[ce]
+            return pt // nblk, 0, pt % nblk, 0
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(budget,),
+            in_specs=[
+                pl.BlockSpec((1, nin, rows, is_),
+                             lambda ce, *s: (blk(ce, *s)[0], 0,
+                                             blk(ce, *s)[2], 0)),
+                # aliased zero buffer: never read — minimal const block
+                pl.BlockSpec((1, 1, 8, _LANE), lambda ce, *s: (0, 0, 0, 0)),
+            ],
+            out_specs=[pl.BlockSpec(
+                (1, 6, rows, is_),
+                lambda ce, *s: (blk(ce, *s)[0], 0, blk(ce, *s)[2], 0))],
+            scratch_shapes=scratch,
+        )
+        zeros = jnp.zeros((bs, 6, is_, is_), jnp.float32)
+        out, = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            # operand index 4 = zeros (after 3 scalar-prefetch + stacked)
+            input_output_aliases={4: 0},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )(packed, pb, kofs, stacked, zeros)
+        if a == 0:
+            out = out.transpose(0, 1, 3, 2)
+        return out, row_worst, fits
+
+    in_spec = pl.BlockSpec((1, nin, rows, is_),
+                           lambda b, i, c, pk: (b, 0, i, 0))
     out_spec = pl.BlockSpec((1, 6, rows, is_),
                             lambda b, i, c, pk: (b, 0, i, 0))
-    from jax.experimental.pallas import tpu as pltpu
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(bs, is_ // rows, kc),
-        in_specs=[spec] * len(inputs),
+        in_specs=[in_spec],
         out_specs=[out_spec],
-        scratch_shapes=[
-            pltpu.VMEM((rows, 3 * is_), jnp.int32),
-            pltpu.VMEM((rows, 9 + (3 if with_rgb else 0), 3 * is_),
-                       jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
     out, = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[_out_struct((bs, 6, is_, is_), jnp.float32, alpha_map)],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
-    )(packed, *inputs)
+    )(packed, stacked)
     # direct channel planes — no XLA-side unshuffle pass exists at all
     # (channels in the walk frame get transposed back for a=0; the stat is
     # a global max, frame-independent)
-    return [tr(out[:, j]) for j in range(6)], row_worst
+    if a == 0:
+        out = out.transpose(0, 1, 3, 2)
+    return out, row_worst
 
 
 def insweep_channels(settings, a, ppx, ppy, alpha_map, grad_alpha_map,
@@ -623,52 +763,65 @@ def insweep_channels(settings, a, ppx, ppy, alpha_map, grad_alpha_map,
 
     a: 0 (column sweeps — handled by transposing in/outputs) or 1 (row
     sweeps).  ppx/ppy: ``[bs, is, is, 3]`` pixel-space vertex coords of
-    each pixel's face.  Returns ([6 maps [bs, is, is]: (c0, c1) per edge],
-    off_worst) where off_worst is the max |d1_out - d1| over active
-    pixels — the scene's actual offset requirement.  Exact iff
+    each pixel's face.  Returns (channels [bs, 6, is, is] — (c0, c1) per
+    edge, the _EA axis-major block — and off_worst, the max |d1_out - d1|
+    over active pixels: the scene's actual offset requirement.  Exact iff
     off_worst <= grad_offset_radius (the auto fast path conds on it)."""
     is_ = settings.image_size
     bs = alpha_map.shape[0]
     radius = int(settings.grad_offset_radius)
     rows = _rows_per_block(is_)
 
-    def tr(m):
-        return m.transpose(0, 2, 1) if a == 0 else m
-
     # walk frame: X = coord along the walk axis, Y = sweep coord
     if a == 0:
-        xs = [tr(ppx[..., k]) for k in range(3)]
-        ys = [tr(ppy[..., k]) for k in range(3)]
+        xs = [ppx[..., k] for k in range(3)]
+        ys = [ppy[..., k] for k in range(3)]
         dir_lt = -1.0
     else:
         xs = [ppy[..., k] for k in range(3)]
         ys = [ppx[..., k] for k in range(3)]
         dir_lt = 1.0
 
-    inputs = xs + ys + [tr(alpha_map), tr(grad_alpha_map)]
+    # ONE stacked input (see _kernel docstring for the plane order): the
+    # stack build fuses the walk-frame transpose for a=0, and the kernel
+    # pays one strided DMA per block instead of nin separate fetches
+    planes = xs + ys + [alpha_map]
+    values, grads = [], []
+    if settings.return_alpha:
+        values.append(alpha_map)
+        grads.append(grad_alpha_map)
     if settings.return_rgb:
-        inputs += [tr(rgb_map[..., c]) for c in range(3)]
-        inputs += [tr(grad_rgb_map[..., c]) for c in range(3)]
+        values += [rgb_map[..., c] for c in range(3)]
+        grads += [grad_rgb_map[..., c] for c in range(3)]
+    nch = len(values)
+    stacked = jnp.stack(planes + values + grads, axis=1)
+    if a == 0:
+        stacked = stacked.transpose(0, 1, 3, 2)
+    nin = stacked.shape[1]
 
     kernel = functools.partial(_kernel, settings, dir_lt, radius,
-                               rows, is_)
-    spec = pl.BlockSpec((1, rows, is_), lambda b, i: (b, i, 0))
+                               rows, is_, nch)
+    in_spec = pl.BlockSpec((1, nin, rows, is_), lambda b, i: (b, 0, i, 0))
+    out_spec = pl.BlockSpec((1, 6, rows, is_), lambda b, i: (b, 0, i, 0))
     stat_spec = pl.BlockSpec((1, rows, _LANE), lambda b, i: (b, i, 0))
     from jax.experimental.pallas import tpu as pltpu
-    outs = pl.pallas_call(
+    out, stat = pl.pallas_call(
         kernel,
         grid=(bs, is_ // rows),
-        in_specs=[spec] * len(inputs),
-        out_specs=[spec] * 6 + [stat_spec],
-        out_shape=[_out_struct((bs, is_, is_), jnp.float32,
-                               alpha_map)] * 6
-        + [_out_struct((bs, is_, _LANE), jnp.int32, alpha_map)],
+        in_specs=[in_spec],
+        out_specs=[out_spec, stat_spec],
+        out_shape=[
+            _out_struct((bs, 6, is_, is_), jnp.float32, alpha_map),
+            _out_struct((bs, is_, _LANE), jnp.int32, alpha_map),
+        ],
         scratch_shapes=[pltpu.VMEM((rows, is_), jnp.float32)] * 3,
         interpret=interpret,
-    )(*inputs)
+    )(stacked)
     # (channels in the walk frame get transposed back for a=0; the stat is
     # a global max, frame-independent)
-    return [tr(o) for o in outs[:6]], jnp.max(outs[6])
+    if a == 0:
+        out = out.transpose(0, 1, 3, 2)
+    return out, jnp.max(stat)
 
 
 # ---------------------------------------------------------------------------

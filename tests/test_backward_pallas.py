@@ -98,7 +98,7 @@ def test_insweep_kernel_matches_xla():
     for a in (0, 1):
         for e in range(3):
             for k in range(2):
-                got = np.asarray(kout[a][2 * e + k])
+                got = np.asarray(kout[a][:, 2 * e + k])
                 want = np.asarray(r[(e, a)][k])
                 # kernel was exact here, so its self-measured offset stat
                 # must honor the radius contract
@@ -142,6 +142,19 @@ def test_outsweep_kernel_interpret():
                               interpret=interpret))(ppx, ppy, alpha, s1, ga)
         assert int(rw) > 0
         assert int(rw) <= 256          # scene must fit for exactness here
+        # the compact (block, chunk) schedule (the auto path's default)
+        # must be bit-identical to the dense grid when the scene fits —
+        # including zero channels at every unvisited block (the aliased
+        # zero buffer)
+        six_c, rw_c, fits = jax.jit(
+            lambda ppx, ppy, al, s1m, g, a=a:
+            backward_pallas.outsweep_channels(
+                s, a, ppx, ppy, al, s1m, g, row_cap=256,
+                interpret=interpret, compact=True))(ppx, ppy, alpha, s1, ga)
+        assert bool(fits)
+        assert int(rw_c) == int(rw)
+        np.testing.assert_array_equal(np.asarray(six_c), np.asarray(six),
+                                      err_msg=f'compact (a={a})')
         for e in range(3):
             X, Y = backward._edge_coords(ppx, ppy, e, a)
             d0 = xi if a == 0 else yi
@@ -154,10 +167,10 @@ def test_outsweep_kernel_interpret():
                 act_out, cr, X, d0, alpha, ga)
             scale = float(np.abs(np.asarray(o0)).max()) + 1e-9
             np.testing.assert_allclose(
-                np.asarray(six[2 * e]), np.asarray(o0), rtol=1e-4,
+                np.asarray(six[:, 2 * e]), np.asarray(o0), rtol=1e-4,
                 atol=scale * 1e-5, err_msg=f'(e={e}, a={a}, c0)')
             np.testing.assert_allclose(
-                np.asarray(six[2 * e + 1]), np.asarray(o1), rtol=1e-4,
+                np.asarray(six[:, 2 * e + 1]), np.asarray(o1), rtol=1e-4,
                 atol=scale * 1e-5, err_msg=f'(e={e}, a={a}, c1)')
 
 
@@ -213,7 +226,8 @@ def test_insweep_kernel_silhouette_mode():
     interpret = jax.default_backend() != 'tpu'
     outs, ow = jax.jit(lambda *a: backward_pallas.insweep_channels(
         s, 1, *a, interpret=interpret))(ppx, ppy, alpha, ga)
-    total = sum(float(jnp.abs(o).sum()) for o in outs)
+    assert outs.shape == (fc.shape[0], 6, is_, is_)
+    total = float(jnp.abs(outs).sum())
     assert np.isfinite(total) and total > 0
     # the kernel's self-measured offset stat honors its own exactness
     # contract on this fitting scene
