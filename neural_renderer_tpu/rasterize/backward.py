@@ -314,15 +314,18 @@ def _auto_channels(settings, faces, face_index_map, face_w, rgb_map,
         s1_map = s1_map + jnp.sum(rgb_map * grad_rgb_map, axis=-1)
     out6 = []
     row_worst = None
-    out_fits = None
     for a in (0, 1):
-        six, rw, fits = backward_pallas.outsweep_channels(
+        # compact (block, chunk) schedule; on schedule overflow the kernel
+        # internally takes its dense Pallas grid, so the result is exact
+        # whenever row_worst fits — `fits` is diagnostics only, never an
+        # exactness condition (r5: gating the XLA fallback on it cost one
+        # bench azimuth ~0.5 s/step)
+        six, rw, _fits = backward_pallas.outsweep_channels(
             settings, a, ppx, ppy, alpha_map, s1_map, grad_alpha_map,
             grad_rgb_map if settings.return_rgb else None,
             rgb_map if settings.return_rgb else None,
             row_cap=settings.grad_row_cap, compact=True)
         row_worst = rw if row_worst is None else jnp.maximum(row_worst, rw)
-        out_fits = fits if out_fits is None else out_fits & fits
         out6.append(six)
     out12k = jnp.concatenate(out6, axis=1)
 
@@ -367,7 +370,7 @@ def _auto_channels(settings, faces, face_index_map, face_w, rgb_map,
         return jnp.stack([c for pair in chans for c in pair], axis=1)
 
     in12 = jax.lax.cond(off_worst <= radius, lambda _: in12k, in_xla, 0)
-    out12 = jax.lax.cond((row_worst <= settings.grad_row_cap) & out_fits,
+    out12 = jax.lax.cond(row_worst <= settings.grad_row_cap,
                          lambda _: out12k, out_dense, 0)
     return in12 + out12, None
 

@@ -618,7 +618,8 @@ def _outsweep_rowinfo(settings, dir_lt, xs, ys, alpha_map):
 
 def outsweep_channels(settings, a, ppx, ppy, alpha_map, s1_map,
                       grad_alpha_map, grad_rgb_map=None, rgb_map=None,
-                      row_cap=256, interpret=False, compact=False):
+                      row_cap=256, interpret=False, compact=False,
+                      budget=None):
     """Out-sweep contribution channels for one walk axis, written at each
     crossing's in-pixel (same attribution as the dense path).
 
@@ -635,10 +636,16 @@ def outsweep_channels(settings, a, ppx, ppy, alpha_map, s1_map,
     kernel ablation = 8.5 ms of the 22 ms axis at 512^2 bs32), and most
     blocks of a real scene host no records or need one chunk of the
     row_cap's four.  Unvisited blocks' outputs stay zero via
-    input_output_aliasing of a zero buffer.  Returns a third value
-    ``fits`` (the scene's entry total <= the static budget, bs * nblocks)
-    — exact iff fits; the caller MUST cond on it (entries past the budget
-    are dropped), as the auto path does alongside row_worst."""
+    input_output_aliasing of a zero buffer.  The result is ALWAYS exact
+    (given row_worst <= row_cap): scenes whose entry list overflows the
+    static ``budget`` (default ``2 * bs * nblocks``; no-op tail entries
+    cost ~nothing, so the 2x headroom is cheap) take the dense Pallas grid
+    via an internal ``lax.cond`` instead — NOT the caller's XLA fallback,
+    which costs ~0.5 s/step at 512^2 bs32 (r5: the r4-end compact rewrite
+    shipped with budget = bs * nblocks and the az=0 teapot view needs
+    bs * nblocks + 1 axis-0 entries, so one bench azimuth in eight paid
+    the XLA fallback and the headline read -33%).  Returns a third value
+    ``fits`` (True = the compact grid ran) for diagnostics/tests."""
     is_ = settings.image_size
     bs = alpha_map.shape[0]
     # 16-row blocks halve the per-block DMA/discovery count (measured
@@ -686,13 +693,40 @@ def outsweep_channels(settings, a, ppx, ppy, alpha_map, s1_map,
                    jnp.float32),
     ]
     out_shape = [_out_struct((bs, 6, is_, is_), jnp.float32, alpha_map)]
+
+    def dense_call(packed, stacked):
+        dkernel = functools.partial(_outsweep_kernel, settings, dir_lt,
+                                    rows, is_, with_rgb, kc, False, nblk)
+        in_spec = pl.BlockSpec((1, nin, rows, is_),
+                               lambda b, i, c, pk: (b, 0, i, 0))
+        out_spec = pl.BlockSpec((1, 6, rows, is_),
+                                lambda b, i, c, pk: (b, 0, i, 0))
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bs, is_ // rows, kc),
+            in_specs=[in_spec],
+            out_specs=[out_spec],
+            scratch_shapes=scratch,
+        )
+        out, = pl.pallas_call(
+            dkernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )(packed, stacked)
+        return out
+
     if compact:
         # per-block chunk entries: ceil(min(worst row, row_cap) / _KS),
         # 0 for blocks hosting no record at all
         cnt_rows = (packed & 0x3FFF).reshape(bs * nblk, rows)
         blkmax = jnp.minimum(cnt_rows.max(axis=1), row_cap)
         nch = (blkmax + _KS - 1) // _KS
-        budget = bs * nblk
+        if budget is None:
+            budget = int(os.environ.get('NR_OS_BUDGET_FACTOR',
+                                        '2')) * bs * nblk
         pb, kofs, total = _compact_schedule(nch, budget)
         fits = total <= budget
 
@@ -700,55 +734,46 @@ def outsweep_channels(settings, a, ppx, ppy, alpha_map, s1_map,
             pt = pb[ce]
             return pt // nblk, 0, pt % nblk, 0
 
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(budget,),
-            in_specs=[
-                pl.BlockSpec((1, nin, rows, is_),
-                             lambda ce, *s: (blk(ce, *s)[0], 0,
-                                             blk(ce, *s)[2], 0)),
-                # aliased zero buffer: never read — minimal const block
-                pl.BlockSpec((1, 1, 8, _LANE), lambda ce, *s: (0, 0, 0, 0)),
-            ],
-            out_specs=[pl.BlockSpec(
-                (1, 6, rows, is_),
-                lambda ce, *s: (blk(ce, *s)[0], 0, blk(ce, *s)[2], 0))],
-            scratch_shapes=scratch,
-        )
-        zeros = jnp.zeros((bs, 6, is_, is_), jnp.float32)
-        out, = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=out_shape,
-            # operand index 4 = zeros (after 3 scalar-prefetch + stacked)
-            input_output_aliases={4: 0},
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 1024 * 1024),
-            interpret=interpret,
-        )(packed, pb, kofs, stacked, zeros)
+        def compact_call(packed, stacked):
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3,
+                grid=(budget,),
+                in_specs=[
+                    pl.BlockSpec((1, nin, rows, is_),
+                                 lambda ce, *s: (blk(ce, *s)[0], 0,
+                                                 blk(ce, *s)[2], 0)),
+                    # aliased zero buffer: never read — minimal const block
+                    pl.BlockSpec((1, 1, 8, _LANE),
+                                 lambda ce, *s: (0, 0, 0, 0)),
+                ],
+                out_specs=[pl.BlockSpec(
+                    (1, 6, rows, is_),
+                    lambda ce, *s: (blk(ce, *s)[0], 0, blk(ce, *s)[2], 0))],
+                scratch_shapes=scratch,
+            )
+            zeros = jnp.zeros((bs, 6, is_, is_), jnp.float32)
+            out, = pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=out_shape,
+                # operand index 4 = zeros (after 3 scalar-prefetch +
+                # stacked)
+                input_output_aliases={4: 0},
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=64 * 1024 * 1024),
+                interpret=interpret,
+            )(packed, pb, kofs, stacked, zeros)
+            return out
+
+        # schedule overflow falls back to the DENSE PALLAS grid (exact for
+        # any entry count), not to the caller's XLA path — an overflowing
+        # step costs one dense kernel, not ~0.5 s of XLA sweeps
+        out = jax.lax.cond(fits, compact_call, dense_call, packed, stacked)
         if a == 0:
             out = out.transpose(0, 1, 3, 2)
         return out, row_worst, fits
 
-    in_spec = pl.BlockSpec((1, nin, rows, is_),
-                           lambda b, i, c, pk: (b, 0, i, 0))
-    out_spec = pl.BlockSpec((1, 6, rows, is_),
-                            lambda b, i, c, pk: (b, 0, i, 0))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(bs, is_ // rows, kc),
-        in_specs=[in_spec],
-        out_specs=[out_spec],
-        scratch_shapes=scratch,
-    )
-    out, = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
-        interpret=interpret,
-    )(packed, stacked)
+    out = dense_call(packed, stacked)
     # direct channel planes — no XLA-side unshuffle pass exists at all
     # (channels in the walk frame get transposed back for a=0; the stat is
     # a global max, frame-independent)

@@ -155,6 +155,22 @@ def test_outsweep_kernel_interpret():
         assert int(rw_c) == int(rw)
         np.testing.assert_array_equal(np.asarray(six_c), np.asarray(six),
                                       err_msg=f'compact (a={a})')
+        # schedule overflow (budget too small for the scene's entry list)
+        # must route to the dense Pallas grid inside the kernel's own
+        # lax.cond and stay bit-identical — never drop entries (r5: the
+        # r4-end rewrite dropped to the XLA fallback from the CALLER's
+        # guard instead, costing ~0.5 s on the one bench azimuth whose
+        # entries exceeded bs * nblocks)
+        six_o, rw_o, fits_o = jax.jit(
+            lambda ppx, ppy, al, s1m, g, a=a:
+            backward_pallas.outsweep_channels(
+                s, a, ppx, ppy, al, s1m, g, row_cap=256,
+                interpret=interpret, compact=True, budget=8))(
+            ppx, ppy, alpha, s1, ga)
+        assert not bool(fits_o)
+        assert int(rw_o) == int(rw)
+        np.testing.assert_array_equal(np.asarray(six_o), np.asarray(six),
+                                      err_msg=f'compact overflow (a={a})')
         for e in range(3):
             X, Y = backward._edge_coords(ppx, ppy, e, a)
             d0 = xi if a == 0 else yi
