@@ -74,19 +74,35 @@ def _pallas_forward_maps(settings, faces, textures, fuse_rgb,
     return maps
 
 
+# Safe "no slot" marker for per-slice CSR position maps: never within
+# kofs*128 + [0, 128) of any real chunk offset, so the one-hot fetch
+# matches nothing (the kernel computes slot == pos - kofs*128).
+_CSR_SLICE_DUMP = 1 << 30
+
+
 def _pallas_multipass_maps(settings, faces, textures, fuse_rgb,
                            guarded_budget=False):
     """Pallas forward for meshes beyond the per-pass VMEM face budget: one
     pass per contiguous face slice, merged on the kernel's raw min-z state
     (strict < keeps the earlier slice's winner on ties — the reference's
     sequential first-wins order over the full face list,
-    rasterize.py:300,334).  CSR artifacts are single-pass-only; the
-    backward uses the global segment reduction here."""
+    rasterize.py:300,334).
+
+    With ``grad_csr_rows`` set (and the image CSR-capable), every slice
+    pass emits its own CSR artifacts at that per-slice row budget; the
+    merge then re-points each slice's position map at the packed-layout
+    winner-slice mask, so a pixel contributes to exactly its GLOBAL
+    winner's slice (``csr_pos`` of losing slices gets the no-slot marker).
+    The backward reduces each slice like single-pass CSR and concatenates
+    along the face axis — the global bs*nf-segment pixel scatter never
+    runs (r5: the 163k-face bench paid it every step, VERDICT item 7)."""
     import dataclasses
 
     from neural_renderer_tpu.rasterize import forward_pallas
-    # CSR artifacts are single-pass-only
-    settings = dataclasses.replace(settings, grad_csr_rows=None)
+    csr_rows = settings.grad_csr_rows
+    if csr_rows is not None and not forward_pallas.csr_supported(settings):
+        csr_rows = None
+    settings = dataclasses.replace(settings, grad_csr_rows=csr_rows)
     s = forward_pallas.slice_size(forward_pallas._NFEAT + (
         textures.shape[2] ** 3 * 3 if fuse_rgb else 0))
     nf = faces.shape[1]
@@ -96,19 +112,33 @@ def _pallas_multipass_maps(settings, faces, textures, fuse_rgb,
         return jnp.where(better[extra], new, old)
 
     merged = None
-    for lo in range(0, nf, s):
+    csr_slices = []
+    win_slice = None
+    for idx, lo in enumerate(range(0, nf, s)):
         m = _pallas_forward_maps(
             settings, faces[:, lo:lo + s],
             textures[:, lo:lo + s] if fuse_rgb else textures,
             fuse_rgb, want_zraw=True, guarded_budget=guarded_budget)
+        csr = {k: m.pop(k) for k in ('csr_pos', 'csr_gseg', 'csr_counts',
+                                     'csr_base') if k in m}
+        if csr:
+            csr_slices.append(csr)
         m['face_index_map'] = jnp.where(
             m['face_index_map'] >= 0, m['face_index_map'] + lo, -1)
         if merged is None:
             merged = m
+            win_slice = jnp.zeros_like(m['face_index_map'])
         else:
             better = m['zraw'] < merged['zraw']
+            win_slice = jnp.where(better, idx, win_slice)
             merged = {k: sel(better, m[k], merged[k]) for k in merged}
     del merged['zraw']
+    if csr_slices:
+        win_packed = forward_pallas.pack_pixel_layout(settings, win_slice)
+        for idx, csr in enumerate(csr_slices):
+            csr['csr_pos'] = jnp.where(win_packed == idx, csr['csr_pos'],
+                                       jnp.int32(_CSR_SLICE_DUMP))
+        merged['csr_slices'] = csr_slices
     return merged
 
 
@@ -131,6 +161,31 @@ def _sentinel_csr(s_csr, faces, counts, capacity):
     gseg = jnp.full((lc * forward_pallas._CHUNK,), bs * nf, jnp.int32) + vary
     return dict(csr_pos=pos, csr_gseg=gseg, csr_counts=clamped,
                 csr_base=base)
+
+
+def _sentinel_csr_slices(s_csr, faces, nfeat):
+    """Shape/dtype/vma-matched per-slice CSR placeholders for the XLA
+    fallback branch of the auto multipass cond (values never consumed —
+    ``csr_valid`` is False whenever this branch runs)."""
+    from neural_renderer_tpu.rasterize import forward_pallas
+    bs, nf = faces.shape[:2]
+    p = forward_pallas._patch_dim(s_csr)
+    t = s_csr.image_size // p
+    rows = (p * p) // forward_pallas._CHUNK
+    lc = s_csr.grad_csr_rows // forward_pallas._CHUNK
+    s_sz = forward_pallas.slice_size(nfeat)
+    vary = (faces.ravel()[0] * 0.0).astype(jnp.int32)
+    out = []
+    for lo in range(0, nf, s_sz):
+        nf_s = min(s_sz, nf - lo)
+        out.append(dict(
+            csr_pos=jnp.full((bs, t, t, rows, forward_pallas._CHUNK),
+                             _CSR_SLICE_DUMP, jnp.int32) + vary,
+            csr_gseg=jnp.full((lc * forward_pallas._CHUNK,), bs * nf_s,
+                              jnp.int32) + vary,
+            csr_counts=jnp.zeros((bs * t * t,), jnp.int32) + vary,
+            csr_base=jnp.zeros((bs * t * t,), jnp.int32) + vary))
+    return out
 
 
 def _forward_maps(settings, faces, textures):
@@ -184,25 +239,57 @@ def _forward_maps(settings, faces, textures):
                 # ~100x off the oracle's cost (VERDICT r3 item 2).
                 if settings.backend == 'auto':
                     import dataclasses
+
+                    from neural_renderer_tpu.rasterize import (
+                        config as rconfig)
                     s_sz = forward_pallas.slice_size(nfeat)
                     cap_hi = 4 * forward_pallas.chunk_capacity(settings, s_sz)
                     s_esc = dataclasses.replace(
                         settings, faces_per_tile_cap=cap_hi)
-                    fits_d, fits_hi = forward_pallas.multipass_fits(
-                        settings, faces, s_sz, caps=[cap_hi])
-                    return jax.lax.cond(
+                    # auto fast path: per-slice CSR artifacts at the auto
+                    # row budget; csr_valid gates the backward's per-slice
+                    # reduction exactly like single-pass (overflow -> the
+                    # exact global segment reduction)
+                    auto_csr = (settings.auto_fast
+                                and settings.grad_csr_rows is None
+                                and forward_pallas.csr_supported(settings))
+                    if auto_csr:
+                        rows_m = rconfig.auto_csr_rows(
+                            settings.image_size, faces.shape[0])
+                        s_m = dataclasses.replace(
+                            settings, grad_csr_rows=rows_m)
+                        s_esc = dataclasses.replace(
+                            s_esc, grad_csr_rows=rows_m)
+                        fits_d, fits_hi, csr_ok = forward_pallas.\
+                            multipass_fits(settings, faces, s_sz,
+                                           caps=[cap_hi], csr_rows=rows_m)
+                    else:
+                        s_m = settings
+                        fits_d, fits_hi = forward_pallas.multipass_fits(
+                            settings, faces, s_sz, caps=[cap_hi])
+
+                    def xla_branch(f2, t2):
+                        maps = _xla_forward_maps(settings, f2, t2, fuse_rgb)
+                        if auto_csr:
+                            maps['csr_slices'] = _sentinel_csr_slices(
+                                s_m, f2, nfeat)
+                        return maps
+
+                    maps = jax.lax.cond(
                         fits_d,
                         lambda f, t: _pallas_multipass_maps(
-                            settings, f, t, fuse_rgb, guarded_budget=True),
+                            s_m, f, t, fuse_rgb, guarded_budget=True),
                         lambda f, t: jax.lax.cond(
                             fits_hi,
                             lambda f2, t2: _pallas_multipass_maps(
                                 s_esc, f2, t2, fuse_rgb,
                                 guarded_budget=True),
-                            lambda f2, t2: _xla_forward_maps(
-                                settings, f2, t2, fuse_rgb),
+                            xla_branch,
                             f, t),
                         faces, textures)
+                    if auto_csr:
+                        maps['csr_valid'] = (fits_d | fits_hi) & csr_ok
+                    return maps
                 return _pallas_multipass_maps(settings, faces, textures,
                                               fuse_rgb)
             if (settings.backend == 'auto'
@@ -372,7 +459,7 @@ def _forward_all(settings, faces, textures, background):
                depth_map=depth_map, face_inv_map=face_inv_map,
                rgb_map=rgb_map, alpha_map=alpha_map)
     for key in ('csr_pos', 'csr_gseg', 'csr_counts', 'csr_base',
-                'csr_valid'):
+                'csr_valid', 'csr_slices'):
         if key in maps:
             res[key] = maps[key]
 
@@ -432,7 +519,8 @@ def _bwd(settings, res, cotangents):
             g_depth_map)
         channels.append(('k7', contrib))
     k6_expand = None
-    if settings.return_rgb and 'csr_pos' in res and 2 <= ts <= 4:
+    if (settings.return_rgb and 2 <= ts <= 4
+            and ('csr_pos' in res or 'csr_slices' in res)):
         # CSR path: the fused stack carries only the ts^2 + ts + 3 K6
         # FACTOR channels; the CSR partial kernel expands them to the
         # ts^3 * 3 cell-resolved columns on 32-pixel VMEM blocks
@@ -546,7 +634,51 @@ def _bwd(settings, res, cotangents):
                     -1, fused.shape[1]),
                 seg_flat, num_segments=bs * nf + 1)[:-1]
 
-        if 'csr_pos' in res and 'csr_valid' in res:
+        def _csr_reduce_slices(fused):
+            # multi-pass per-slice CSR: each slice reduces like
+            # single-pass (partial kernel over ITS binning lists — the
+            # merge already no-slot-marked losing pixels' positions), and
+            # the per-slice face totals concatenate along the face axis.
+            # Static slicing mirrors _pallas_multipass_maps exactly.
+            import dataclasses
+
+            from neural_renderer_tpu.rasterize import (backward_pallas,
+                                                       config as rconfig,
+                                                       forward_pallas)
+            s = settings
+            if s.grad_csr_rows is None:   # auto fast path: static auto rows
+                s = dataclasses.replace(
+                    s, grad_csr_rows=rconfig.auto_csr_rows(
+                        s.image_size, bs))
+            fuse_rgb = settings.return_rgb and ts <= 4
+            nfeat = forward_pallas._NFEAT + (ts ** 3 * 3 if fuse_rgb
+                                             else 0)
+            s_sz = forward_pallas.slice_size(nfeat)
+            # kmax sentinel: >= any branch's per-slice capacity (the auto
+            # multipass escalation runs at 4x the auto cap)
+            cap = forward_pallas.chunk_capacity(settings, s_sz)
+            if (settings.backend == 'auto'
+                    and settings.faces_per_tile_cap is None):
+                cap *= 4
+            parts = []
+            for i, lo in enumerate(range(0, nf, s_sz)):
+                sl = res['csr_slices'][i]
+                nf_s = min(s_sz, nf - lo)
+                partials = backward_pallas.csr_partial_channels(
+                    s, fused, sl['csr_pos'], sl['csr_counts'],
+                    sl['csr_base'], cap, expand=k6_expand)
+                parts.append(jax.ops.segment_sum(
+                    partials, sl['csr_gseg'],
+                    num_segments=bs * nf_s + 1)[:-1].reshape(bs, nf_s, -1))
+            return jnp.concatenate(parts, axis=1).reshape(
+                bs * nf, parts[0].shape[-1])
+
+        if 'csr_slices' in res and 'csr_valid' in res:
+            total = jax.lax.cond(res['csr_valid'], _csr_reduce_slices,
+                                 _global_reduce, fused)
+        elif 'csr_slices' in res:
+            total = _csr_reduce_slices(fused)
+        elif 'csr_pos' in res and 'csr_valid' in res:
             # auto fast path: the forward measured the scene's CSR needs;
             # reduce over the CSR rows only when it provably fits
             total = jax.lax.cond(res['csr_valid'], _csr_reduce,

@@ -143,8 +143,28 @@ def csr_supported(settings):
     return is_ % 32 == 0 and is_ >= 4 * 32
 
 
-def multipass_fits(settings, faces, s=None, caps=None):
+def pack_pixel_layout(settings, img):
+    """Image-layout ``[bs, is, is]`` -> the kernels' packed patch layout
+    ``[bs, t, t, rows, 128]`` (slot (r, l) of patch (ty, tx) holds pixel
+    y = ty*p + (l // p) * rows + r, x = tx*p + l % p — ``_pixel_coords``).
+    Pure reshape/transpose; used to align per-pixel maps with ``csr_pos``
+    (e.g. the multi-pass winner-slice mask)."""
+    p = _patch_dim(settings)
+    rows = (p * p) // _CHUNK
+    groups = _CHUNK // p
+    bs, is_, _ = img.shape
+    t = is_ // p
+    x = img.reshape(bs, t, groups, rows, t, p)
+    return x.transpose(0, 1, 4, 3, 2, 5).reshape(bs, t, t, rows, _CHUNK)
+
+
+def multipass_fits(settings, faces, s=None, caps=None, csr_rows=None):
     """Runtime fit of the multi-pass binning against per-slice capacities.
+
+    With ``csr_rows``: appends one more bool — every slice's CSR chunk
+    total (clamped at the LAST capacity in ``caps``, or the default cap)
+    fits a per-slice ``grad_csr_rows`` budget of ``csr_rows`` — the
+    multi-pass analogue of the single-pass auto path's ``csr_ok``.
 
     With ``caps=None``: one bool — every face slice's binned patch counts
     fit the slice's own ``chunk_capacity`` (the multi-pass analogue of the
@@ -162,6 +182,7 @@ def multipass_fits(settings, faces, s=None, caps=None):
     s = slice_size() if s is None else s
     fits_default = jnp.bool_(True)
     fits_caps = [jnp.bool_(True) for _ in (caps or ())]
+    csr_ok = jnp.bool_(True)
     for lo in range(0, nf, s):
         sl = faces[:, lo:lo + s]
         _, counts = _membership_prefix(settings, sl)
@@ -169,15 +190,22 @@ def multipass_fits(settings, faces, s=None, caps=None):
         fits_default = fits_default & (
             (counts.max() <= cap_d)
             & schedule_fits(settings, counts, cap_d, bs, sl.shape[1]))
+        cap_csr = cap_d
         for idx, cap in enumerate(caps or ()):
             s_r = dataclasses.replace(settings, faces_per_tile_cap=cap)
             cap_r = chunk_capacity(s_r, sl.shape[1])
+            cap_csr = cap_r
             fits_caps[idx] = fits_caps[idx] & (
                 (counts.max() <= cap_r)
                 & schedule_fits(s_r, counts, cap_r, bs, sl.shape[1]))
-    if caps is None:
-        return fits_default
-    return [fits_default] + fits_caps
+        if csr_rows is not None:
+            clamped = jnp.minimum(counts, cap_csr)
+            needed = (jnp.sum((clamped + _CHUNK - 1) // _CHUNK) + 1) * _CHUNK
+            csr_ok = csr_ok & (needed <= csr_rows)
+    out = fits_default if caps is None else [fits_default] + fits_caps
+    if csr_rows is None:
+        return out
+    return (out if isinstance(out, list) else [out]) + [csr_ok]
 
 
 def _face_tile_ranges(settings, faces):

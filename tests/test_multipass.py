@@ -121,3 +121,61 @@ def test_large_mesh_renders_and_differentiates_tpu():
     scale = np.abs(g_ref).max() + 1e-9
     assert np.abs(g_ref).max() > 0
     np.testing.assert_allclose(g_auto, g_ref, rtol=1e-4, atol=scale * 1e-5)
+
+
+def test_multipass_csr_grad_matches_global_interpret():
+    """Per-slice CSR reduction on the multi-pass backward (interpret mode):
+    full rasterize_core gradients with grad_csr_rows set over a 3-slice
+    mesh must match the capacity-free global segment reduction — the merge
+    re-points losing slices' position maps at the no-slot marker, so each
+    pixel's channels land on exactly its global winner's face."""
+    import dataclasses
+
+    from neural_renderer_tpu.rasterize import backward_pallas
+
+    is_, nf, bs = 128, 300, 2
+    fc = _random_scene(nf, bs=bs)
+    tx = jax.random.uniform(jax.random.PRNGKey(3),
+                            (bs, nf, 2, 2, 2, 3)).astype(jnp.float32)
+    bg = jnp.zeros((3,), jnp.float32)
+    ga = jax.random.normal(jax.random.PRNGKey(9), (bs, is_, is_, 3))
+
+    kw = dict(image_size=is_, return_rgb=True, return_alpha=True,
+              return_depth=False, runtime_checks=False, backend='pallas',
+              grad_csr_rows=128 * 64)
+    s_csr = RasterizeSettings(**kw)
+    s_glob = dataclasses.replace(s_csr, grad_csr_rows=None)
+
+    def interp(fn):
+        return functools.partial(fn, interpret=True)
+
+    patches = [
+        mock.patch.object(forward_pallas, 'forward_shaded',
+                          interp(forward_pallas.forward_shaded)),
+        mock.patch.object(backward_pallas, 'csr_partial_channels',
+                          interp(backward_pallas.csr_partial_channels)),
+        mock.patch.object(forward_pallas, 'supported', lambda s, f: True),
+        mock.patch.object(forward_pallas, 'slice_size',
+                          lambda nfeat=None: 128),
+    ]
+
+    def grads(s):
+        def loss(a, t):
+            rgb, al, _ = core.rasterize_core(s, a, t, bg)
+            return jnp.sum(rgb * ga) + 1.7 * jnp.sum(al)
+        return jax.jit(jax.grad(loss, argnums=(0, 1)))(fc, tx)
+
+    with patches[0], patches[1], patches[2], patches[3]:
+        g_csr = grads(s_csr)
+        # multipass must actually have emitted per-slice CSR artifacts
+        maps = core._pallas_multipass_maps(s_csr, fc, tx, True)
+        assert 'csr_slices' in maps and len(maps['csr_slices']) == 3
+        g_glob = grads(s_glob)
+
+    for name, a, b in (('faces', g_glob[0], g_csr[0]),
+                       ('textures', g_glob[1], g_csr[1])):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-9
+        assert np.abs(a).max() > 0
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=scale * 1e-5,
+                                   err_msg=name)
